@@ -14,8 +14,10 @@ object SparkEntry {
     queries("q_j1_dim_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CrawlRelational.queries
+    graft.queries.CrawlRelational.queries ++
+      graft.queries.PipelineOps.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CrawlRelational.oracle
+    graft.queries.CrawlRelational.oracle ++
+      graft.queries.PipelineOps.oracle
 }

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale deduplication operators for training-data pipelines.
+  *
+  * Scale notes (100 TB design): every operator here is a pure
+  * shuffle-on-key dataflow — no driver-side state, no collect. The
+  * candidate-pair generators (shingle join, LSH band join) are the only
+  * quadratic-risk steps; both carry a frequent-key prune (`maxDocsPerKey`)
+  * that bounds per-key fanout, the standard stop-shingle treatment —
+  * at cluster scale this is what keeps the shuffle skew-free (hot
+  * shingles are exactly the keys AQE skew-split would otherwise chase).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash (reference analogue:
+    * content_hash/text_hash SHA-256 dedup, database.py:792-794).
+    * One hash-aggregate, map-side combinable. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word k-shingles per document: (id, sh). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val parts = (0 until k).map(i => s"t[i+$i]").mkString(", ")
+    docs.select(col(idCol).as("doc"), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc"), explode(
+        expr(s"transform(sequence(0, size(t)-$k), i -> concat_ws(' ', $parts))")).as("sh"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs with n-gram Jaccard similarity.
+    * Pair generation joins on shared shingles; shingles held by more
+    * than `maxDocsPerKey` docs are pruned (stop-shingles) to bound the
+    * join fanout. Jaccard computed exactly from distinct-shingle counts. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.1,
+                        maxDocsPerKey: Int = 100): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k)
+    val kept = sh.withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("n_docs") <= maxDocsPerKey)
+      .select("doc", "sh")
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc"))
+      .withColumn("jaccard",
+        col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "jaccard")
+  }
+
+  /** MinHash signatures (nHashes mins over md5(seed|shingle)) grouped
+    * into LSH bands of `bandSize`; band key = md5 of the band's hashes.
+    * Using min-of-md5-hex as the hash family keeps the signature
+    * reproducible in any engine (the correctness oracle recomputes it
+    * in SQL). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, nHashes: Int = 4, bandSize: Int = 2): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k)
+    val hashes = (0 until nHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    val sig = sh.groupBy("doc").agg(hashes.head, hashes.tail: _*)
+    val bands = (0 until nHashes / bandSize).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"h$i"))
+      md5(concat(cols: _*)).as(s"band$b")
+    }
+    sig.select(col("doc") +: (0 until nHashes).map(i => col(s"h$i")) ++: bands: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket. */
+  def lshCandidatePairs(signatures: DataFrame, nBands: Int,
+                        maxDocsPerKey: Int = 1000): DataFrame = {
+    val perBand = (0 until nBands).map { b =>
+      signatures.select(col("doc"), col(s"band$b").as("key"), lit(b).as("band"))
+    }.reduce(_ unionByName _)
+    val pruned = perBand.withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("n_docs") <= maxDocsPerKey)
+      .select("doc", "key", "band")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash over distinct tokens: md5(token) supplies `bits` bits
+    * (4 per leading hex char); each token votes ±1 per bit; the sign
+    * of the per-bit sum (ties → 1) forms the fingerprint. Pure SQL
+    * expressions → whole-stage codegen, and engine-portable for the
+    * oracle. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0, "bits must be a multiple of 4 (hex nibbles)")
+    val tok = docs.select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .withColumn("hh", md5(col("w")))
+    val sums = (0 until bits).map { j =>
+      val hexPos = j / 4 + 1
+      val mask = 8 >> (j % 4)
+      sum(expr(
+        s"CASE WHEN ((instr('0123456789abcdef', substr(hh, $hexPos, 1)) - 1) & $mask) > 0 THEN 1 ELSE -1 END"))
+        .as(s"s$j")
+    }
+    val agg = tok.groupBy("doc").agg(sums.head, sums.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"s$j") >= 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc"), fp.as("simhash"))
+  }
+
+  /** SQL text (shared Spark/DuckDB shape) for the simhash oracle. */
+  def simhashOracleSql(table: String, idCol: String, textCol: String,
+                       bits: Int = 16): String = {
+    val sums = (0 until bits).map { j =>
+      val hexPos = j / 4 + 1
+      val mask = 8 >> (j % 4)
+      s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(hh, $hexPos, 1)) - 1) & $mask) > 0 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val fp = (0 until bits).map { j =>
+      s"(CASE WHEN s$j >= 0 THEN ${1L << (bits - 1 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT doc, CAST($fp AS BIGINT) AS simhash FROM (
+          SELECT doc, $sums FROM (
+            SELECT DISTINCT doc, md5(w) AS hh FROM (
+              SELECT $idCol AS doc, unnest(string_split($textCol, ' ')) AS w FROM $table)
+            WHERE w <> '')
+          GROUP BY doc)
+        ORDER BY doc"""
+  }
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents`/`embeddings`,
+  * each with a DuckDB oracle. These are first-class engine components
+  * per the build brief (dedup / similarity / text analysis). */
+object PipelineOps {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- deduplication ----
+
+  val qDedupExact: Q = (s, dir) =>
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text").orderBy("h")
+  val sDedupExact =
+    """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM documents GROUP BY md5(text) ORDER BY h"""
+
+  val qDedupJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.1, maxDocsPerKey = 100)
+      .orderBy("id_a", "id_b")
+  val sDedupJaccard =
+    """WITH tok AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+       pre AS (SELECT doc, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+               FROM tok WHERE len(t) >= 3),
+       sh AS (SELECT DISTINCT doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM pre),
+       sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+       kept AS (SELECT doc, sh FROM (
+                  SELECT doc, sh, COUNT(*) OVER (PARTITION BY sh) AS n_docs FROM sh)
+                WHERE n_docs <= 100),
+       inter AS (SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS inter
+                 FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc < b.doc
+                 GROUP BY a.doc, b.doc)
+       SELECT id_a, id_b, inter, inter / (sa.sz + sb.sz - inter) AS jaccard
+       FROM inter JOIN sizes sa ON id_a = sa.doc JOIN sizes sb ON id_b = sb.doc
+       WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+       ORDER BY id_a, id_b"""
+
+  val qDedupMinhashSig: Q = (s, dir) =>
+    Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, nHashes = 4, bandSize = 2)
+      .orderBy("doc")
+  val sDedupMinhashSig =
+    """WITH tok AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+       pre AS (SELECT doc, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+               FROM tok WHERE len(t) >= 3),
+       sh AS (SELECT DISTINCT doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM pre),
+       sig AS (SELECT doc,
+                 MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+                 MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3
+               FROM sh GROUP BY doc)
+       SELECT doc, h0, h1, h2, h3,
+              md5(h0 || h1) AS band0, md5(h2 || h3) AS band1
+       FROM sig ORDER BY doc"""
+
+  /** Corpus with injected clones (doc_id+1000000) so LSH has true
+    * positives to find. */
+  private def cloneCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  val qDedupLshPairs: Q = (s, dir) => {
+    val sig = Dedup.minhashSignatures(cloneCorpus(s, dir), "doc_id", "text",
+      k = 3, nHashes = 4, bandSize = 2)
+    Dedup.lshCandidatePairs(sig, nBands = 2).orderBy("id_a", "id_b")
+  }
+  val sDedupLshPairs =
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25),
+       tok AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM corpus),
+       pre AS (SELECT doc, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+               FROM tok WHERE len(t) >= 3),
+       sh AS (SELECT DISTINCT doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM pre),
+       sig AS (SELECT doc,
+                 MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+                 MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3
+               FROM sh GROUP BY doc),
+       bands AS (SELECT doc, md5(h0 || h1) AS key, 0 AS band FROM sig
+                 UNION ALL
+                 SELECT doc, md5(h2 || h3) AS key, 1 AS band FROM sig)
+       SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+       FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band AND a.doc < b.doc
+       ORDER BY id_a, id_b"""
+
+  val qDedupSimhash: Q = (s, dir) =>
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)
+      .orderBy("doc")
+  val sDedupSimhash = Dedup.simhashOracleSql("documents", "doc_id", "text", bits = 16)
+
+  // ---- similarity search ----
+
+  val qSimCosineTopk: Q = (s, dir) =>
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+  val sSimCosineTopk =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+       SELECT vec_id,
+         floor(list_inner_product(v, qv) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) * 1e4) / 1e4 AS cos
+       FROM d, q ORDER BY cos DESC, vec_id LIMIT 10"""
+
+  val qAnnLshBuckets: Q = (s, dir) =>
+    Similarity.srpBuckets(t(s, dir, "embeddings"), "vec_id", "embedding", nBits = 8)
+      .orderBy("vec_id")
+  val sAnnLshBuckets = {
+    val bits = (0 until 8).map(i =>
+      s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"""
+  }
+
+  val qAnnBucketedTopk: Q = (s, dir) =>
+    Similarity.bucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 5, nBits = 8)
+  val sAnnBucketedTopk = {
+    val bits = (0 until 8).map(i =>
+      s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     CAST($bits AS BIGINT) AS bucket FROM embeddings),
+       q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       SELECT vec_id, bucket,
+         floor(list_inner_product(v, qv) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) * 1e4) / 1e4 AS cos
+       FROM b, q WHERE bucket = qb AND vec_id <> 0
+       ORDER BY cos DESC, vec_id LIMIT 5"""
+  }
+
+  // ---- text analysis ----
+
+  val qTextLangid: Q = (s, dir) =>
+    TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  val sTextLangid = {
+    val hitCols = TextAnalysis.Markers.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, w -> w IN ($set))) AS ${l}_hits"
+    }.mkString(", ")
+    val langs = TextAnalysis.Markers.map(_._1)
+    val guess = langs.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1).map(o => s"${l}_hits >= ${o}_hits")
+      val earlier = langs.take(i).map(o => s"${l}_hits > ${o}_hits")
+      val conds = (later ++ earlier :+ s"${l}_hits > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $guess ELSE 'und' END AS lang_guess,
+          ${langs.map(l => s"${l}_hits").mkString(", ")}
+        FROM (SELECT doc_id, $hitCols
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        ORDER BY doc_id"""
+  }
+
+  val qTextQuality: Q = (s, dir) =>
+    TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  val sTextQuality = {
+    val en = TextAnalysis.Markers.head._2.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tokens, n_punct, n_stop, stop_ratio, mean_token_len,
+          floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+                 stop_ratio * 0.3 +
+                 greatest(0.0, 0.2 - CAST(n_punct AS DOUBLE) / greatest(n_tokens, 1) * 0.2)) * 1e4) / 1e4 AS quality
+        FROM (SELECT doc_id, n_tokens, n_punct, n_stop,
+                floor(CAST(n_stop AS DOUBLE) / n_tokens * 1e4) / 1e4 AS stop_ratio,
+                floor(CAST(len_txt - (n_tokens - 1) AS DOUBLE) / n_tokens * 1e4) / 1e4 AS mean_token_len
+              FROM (SELECT doc_id,
+                      len(string_split(text, ' ')) AS n_tokens,
+                      len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                      len(list_filter(string_split(text, ' '), w -> w IN ($en))) AS n_stop,
+                      length(text) AS len_txt
+                    FROM documents))
+        ORDER BY doc_id"""
+  }
+
+  val qTextTokens: Q = (s, dir) =>
+    TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  val sTextTokens =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+       FROM documents ORDER BY doc_id"""
+
+  val qTextFingerprint: Q = (s, dir) =>
+    TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")
+  val sTextFingerprint =
+    """SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+       FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_ngram_jaccard" -> qDedupJaccard,
+    "q_dedup_minhash_sig" -> qDedupMinhashSig,
+    "q_dedup_lsh_pairs" -> qDedupLshPairs,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_sim_cosine_topk" -> qSimCosineTopk,
+    "q_ann_lsh_buckets" -> qAnnLshBuckets,
+    "q_ann_bucketed_topk" -> qAnnBucketedTopk,
+    "q_text_langid" -> qTextLangid,
+    "q_text_quality" -> qTextQuality,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_fingerprint" -> qTextFingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> sDedupExact,
+    "q_dedup_ngram_jaccard" -> sDedupJaccard,
+    "q_dedup_minhash_sig" -> sDedupMinhashSig,
+    "q_dedup_lsh_pairs" -> sDedupLshPairs,
+    "q_dedup_simhash" -> sDedupSimhash,
+    "q_sim_cosine_topk" -> sSimCosineTopk,
+    "q_ann_lsh_buckets" -> sAnnLshBuckets,
+    "q_ann_bucketed_topk" -> sAnnBucketedTopk,
+    "q_text_langid" -> sTextLangid,
+    "q_text_quality" -> sTextQuality,
+    "q_text_tokens" -> sTextTokens,
+    "q_text_fingerprint" -> sTextFingerprint)
+}
