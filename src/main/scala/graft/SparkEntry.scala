@@ -9,13 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ANSI SQL for the hash-compare correctness gate. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: a full crawl (frontier→verify→robots→politeness→fetch)
+    * on the sf0.001-scale synthetic world; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_j1_dim_join")(spark, "/root/testdata/sf0.001")
+    queries("q_crawl_results")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CrawlRelational.queries ++
-      graft.queries.PipelineOps.queries
+      graft.queries.PipelineOps.queries ++
+      graft.queries.CrawlQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CrawlRelational.oracle ++

@@ -1,0 +1,102 @@
+package graft.model
+
+/** Typed row models for the crawl engine (SURVEY.md §1.2/§1.3).
+  * Time is logical: the engine replaces wall-clock sleeps with wave
+  * numbers and logical seconds (`waveSeconds` per wave), which is what
+  * makes runs bit-reproducible across parallelism levels. */
+
+/** Publisher/seed registry row (reference: sources,
+  * src/models/__init__.py:533-593). */
+case class Source(
+    source_id: String,
+    host: String,
+    host_norm: String,
+    canonical_name: String,
+    frequency: String, // parse_frequency_to_days vocabulary
+    bot_sensitivity: Int, // 1..10 ladder
+    status: String, // active | paused
+    base_url: String)
+
+/** Frontier row (reference: candidate_links,
+  * src/models/__init__.py:67-125). `norm_url` is the dedup key
+  * (unique); `host_bucket` the partition key. */
+case class FrontierRow(
+    url: String,
+    norm_url: String,
+    host: String,
+    host_bucket: Int,
+    source_id: String,
+    status: String, // §1.4 state machine
+    priority: Int,
+    crawl_depth: Int,
+    discovered_by: String, // lineage label (M5)
+    discovered_wave: Int,
+    processed_wave: Int, // -1 until fetched/terminal
+    http_status: Int, // 0 until fetched
+    publish_day: Int, // synthetic publish date as day ordinal; -1 = null
+    content_hash: String, // sha-256 of payload; "" until fetched
+    error_message: String)
+
+/** Fetched payload row — the graft's image+caption analogue of
+  * `articles` (BASELINE.json input_hint). */
+case class ImageRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String, // png | jpeg
+    caption: String,
+    phash: Long)
+
+/** Result row: frontier URL resolved to a payload. */
+case class FetchResult(
+    norm_url: String,
+    host: String,
+    host_bucket: Int,
+    source_id: String,
+    wave: Int,
+    rank: Int, // within-wave per-host fetch position (crawl order)
+    http_status: Int,
+    status: String, // extracted | 404 | 403 | 429 | timeout | captcha
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    content_hash: String)
+
+/** Per-host politeness state, carried wave-to-wave (reference:
+  * in-memory maps, src/crawler/__init__.py:459-513 +
+  * work_queue.py:119-129, made an explicit table). */
+case class PolitenessState(
+    host: String,
+    bot_sensitivity: Int,
+    tokens_per_wave: Int,
+    cooldown_until_s: Double, // logical seconds
+    consecutive_failures: Int,
+    paused_until_s: Double,
+    bot_encounters: Int,
+    forbidden_count: Int) // 403 tracker (auto-pause at 2, extraction.py:1419-1450)
+
+/** RFC 9309-style robots rule (graft-added; absent in reference). */
+case class RobotsRule(
+    host: String,
+    rule_order: Int,
+    allow: Boolean,
+    path_prefix: String,
+    crawl_delay_s: Double)
+
+/** Per-wave metrics row (reference telemetry analogue). */
+case class WaveMetrics(
+    wave: Int,
+    discovered: Long,
+    duplicates: Long,
+    out_of_scope: Long,
+    filtered: Long,
+    expired: Long,
+    planned: Long,
+    fetched: Long,
+    failed: Long,
+    robots_blocked: Long)

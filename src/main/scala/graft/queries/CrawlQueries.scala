@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.crawl.CrawlEngine
+import graft.store.SnapshotStore
+import graft.synth.Synth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** The crawl engine exposed through the driver contract. These entries
+  * run the full frontier→verify→robots→politeness→fetch pipeline on the
+  * deterministic synthetic world (scaled by the sf dir) and return its
+  * state tables. Not SQL-expressible → no oracleSql (the driver records
+  * a rows-only check); full semantic equality vs the reference-rules
+  * oracle is enforced by graft.CrawlEngineSpec. */
+object CrawlQueries {
+
+  /** Crawl world size by testdata scale factor. */
+  def cfgFor(dir: String): Synth.Config = {
+    val sf = dir.split("/").reverse.find(_.startsWith("sf")).map(_.stripPrefix("sf"))
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.001)
+    if (sf >= 0.1) Synth.Config(nHosts = 200, urlsPerHostPerWave = 50, nWaves = 3)
+    else if (sf >= 0.01) Synth.Config(nHosts = 60, urlsPerHostPerWave = 30, nWaves = 3)
+    else Synth.Config(nHosts = 20, urlsPerHostPerWave = 20, nWaves = 2)
+  }
+
+  // one crawl per (sfDir) per session — all q_crawl_* read its tables
+  private val stores = TrieMap.empty[String, SnapshotStore]
+  private def storeFor(spark: SparkSession, dir: String): SnapshotStore =
+    stores.getOrElseUpdate(dir, {
+      val store = new SnapshotStore(
+        java.nio.file.Files.createTempDirectory("graft-crawl").toString)
+      new CrawlEngine(spark, cfgFor(dir), store).run()
+      store
+    })
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship: the fetched image+caption results with crawl order. */
+  val qCrawlResults: Q = (s, dir) =>
+    storeFor(s, dir).readAll(s, "results")
+      .select("wave", "host", "rank", "norm_url", "status", "image_id",
+        "fmt", "w", "h", "caption", "phash", "content_hash")
+      .orderBy("wave", "host", "rank")
+
+  /** Frontier status histogram (A2 over the real state machine). */
+  val qCrawlStatusCounts: Q = (s, dir) =>
+    storeFor(s, dir).read(s, "frontier")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+
+  /** URL-seen set cardinality per host bucket (J6/X5 surface). */
+  val qCrawlSeenByBucket: Q = (s, dir) =>
+    storeFor(s, dir).read(s, "frontier")
+      .groupBy("host_bucket").agg(count(lit(1)).as("n_seen"))
+      .orderBy("host_bucket")
+
+  /** Politeness end-state: the sensitivity ladder + cooldowns after the
+    * fault schedule has run (T5/T6). */
+  val qCrawlPoliteness: Q = (s, dir) =>
+    storeFor(s, dir).read(s, "politeness")
+      .select("host", "bot_sensitivity", "tokens_per_wave",
+        "consecutive_failures", "bot_encounters", "forbidden_count")
+      .orderBy("host")
+
+  val queries: Map[String, Q] = Map(
+    "q_crawl_results" -> qCrawlResults,
+    "q_crawl_status_counts" -> qCrawlStatusCounts,
+    "q_crawl_seen_by_bucket" -> qCrawlSeenByBucket,
+    "q_crawl_politeness" -> qCrawlPoliteness)
+}
