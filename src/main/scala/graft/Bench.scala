@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR with SPARK_GRAFT_CPUS threads and prints ONE JSON
+  * line. The q_crawl_* entries run the full frontier+fetch engine, so
+  * the line also carries the headline crawl drain throughput
+  * (urls/sec, BASELINE.md). Two-parallelism scaling evidence lives in
+  * graft.ScalingBench → BENCH/BASELINE.md. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // crawl first (it also warms the session); its wall-clock is the
+    // urls/sec headline
+    val crawlT0 = System.nanoTime()
+    val crawlRows = scala.util.Try(
+      SparkEntry.queries("q_crawl_results")(spark, sfDir).count()).getOrElse(-1L)
+    val crawlSec = (System.nanoTime() - crawlT0) / 1e9
+    val crawlCfg = graft.queries.CrawlQueries.cfgFor(sfDir)
+    val crawlDiscovered = scala.util.Try(
+      graft.queries.CrawlQueries.qCrawlSeenByBucket(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum("n_seen")).collect()(0).getLong(0))
+      .getOrElse(-1L)
+    val urlsPerSec = if (crawlSec > 0) crawlDiscovered / crawlSec else 0.0
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + crawlSec
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""crawl_urls_per_sec":$urlsPerSec,"crawl_seconds":$crawlSec,""" +
+        s""""crawl_discovered":$crawlDiscovered,"crawl_fetched_rows":$crawlRows,""" +
+        s""""crawl_world":{"nHosts":${crawlCfg.nHosts},"urlsPerHostPerWave":${crawlCfg.urlsPerHostPerWave},"nWaves":${crawlCfg.nWaves}},""" +
+        s""""cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,15 +58,15 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
   def init(): Unit = {
     if (store.lastCommittedWave() >= 0) return // resume — keep state
     val sources = Synth.sources(spark, cfg)
-    store.write(sources.toDF(), "sources", wave = -1, lineage = "synth seed registry")
-    store.write(Synth.robots(spark, cfg).toDF(), "robots", wave = -1, lineage = "synth robots")
+    store.write(sources.toDF().coalesce(1), "sources", wave = -1, lineage = "synth seed registry")
+    store.write(Synth.robots(spark, cfg).toDF().coalesce(1), "robots", wave = -1, lineage = "synth robots")
     val cd = crawlDelayByHost
     val ws = cfg.waveSeconds
     val pol = sources.map { s =>
       Politeness.initial(s.host_norm, s.bot_sensitivity,
         cd.getOrElse(s.host_norm, 0.0), ws)
     }
-    store.write(pol.toDF(), "politeness", wave = -1, lineage = "sensitivity ladder init")
+    store.write(pol.toDF().coalesce(1), "politeness", wave = -1, lineage = "sensitivity ladder init")
     store.write(spark.emptyDataset[FrontierRow].toDF(), "frontier", wave = -1)
     store.write(spark.emptyDataset[FetchResult].toDF(), "results", wave = -1)
     store.write(spark.emptyDataset[(String, Int)].toDF("source_id", "last_wave"),
@@ -76,6 +76,17 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
   }
 
   // ---------------------------------------------------------------- waves
+
+  private val trace = sys.env.get("GRAFT_TRACE").contains("1")
+  private def timed[T](label: String, wave: Int)(f: => T): T = {
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[trace] wave=$wave $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.3fs")
+      r
+    }
+  }
 
   def runWave(wave: Int): WaveMetrics = {
     val frontier = store.read(spark, "frontier").cache()
@@ -104,9 +115,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       }
     }.toDF("source_id", "src_host", "url", "discovered_by")
 
-    // F-chain with a single outcome tag → one metrics pass (A7: "one
-    // pass, outcome enum column" — the reference's per-counter dict
-    // increments collapsed into one aggregation)
+    // F-chain with a single outcome tag; metrics ride the dedup action
+    // via observe() — no separate counting job (A7: "one pass, outcome
+    // enum column" — the reference's per-counter dict increments
+    // collapsed into observed aggregates)
+    val discObs = org.apache.spark.sql.Observation()
     val normalized = raw
       .withColumn("norm_url", gf.normalize_url(col("url")))
       .withColumn("host", gf.canonical_host(col("url")))
@@ -118,14 +131,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           .when(col("pub_day") =!= -1 &&
             col("pub_day") < lit(cfg.nowDay - cfg.recencyDays), lit("expired")) // F8
           .otherwise(lit("ok")))
-      .cache()
-
-    val outcomeCounts = normalized.groupBy("outcome").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nOutOfScope = outcomeCounts.getOrElse("out_of_scope", 0L)
-    val nFiltered = outcomeCounts.getOrElse("filtered", 0L)
-    val nExpired = outcomeCounts.getOrElse("expired", 0L)
-    val nOk = outcomeCounts.getOrElse("ok", 0L)
+      .observe(discObs,
+        count(when(col("outcome") === "out_of_scope", 1)).as("out_of_scope"),
+        count(when(col("outcome") === "filtered", 1)).as("filtered"),
+        count(when(col("outcome") === "expired", 1)).as("expired"),
+        count(when(col("outcome") === "ok", 1)).as("ok"))
 
     // W2: first-occurrence within the batch, deterministic keep =
     // min(url). min(struct(url, …)) instead of a row_number window:
@@ -165,7 +175,12 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       lit("").as("error_message"))
       .cache()
 
-    val nDiscovered = discovered.count()
+    val nDiscovered = timed("dedup_seen_check", wave) { discovered.count() }
+    val discMetrics = discObs.get // filled by the count() action above
+    val nOutOfScope = discMetrics("out_of_scope").asInstanceOf[Long]
+    val nFiltered = discMetrics("filtered").asInstanceOf[Long]
+    val nExpired = discMetrics("expired").asInstanceOf[Long]
+    val nOk = discMetrics("ok").asInstanceOf[Long]
     val nDuplicates = nOk - nDiscovered // batch dups + already-seen
 
     // ---- 2. verification (F5/F6/F9 rule cascade → status rewrite) ----
@@ -187,8 +202,6 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       when(col("status") === "article" && !robotsAllowsUdf(col("host"), col("norm_url")),
         lit("robots_blocked")).otherwise(col("status")))
       .cache()
-    val nRobots = gated.filter(col("status") === "robots_blocked" &&
-      col("processed_wave") === -1 && col("discovered_wave") === wave).count()
 
     // ---- 4. wave plan (W1/W4 token ranking over available hosts) ----
     val waveSec = cfg.waveSeconds
@@ -220,7 +233,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       }.cache()
 
     // one pass over results for all fetch metrics
-    val statusCounts = results.toDF().groupBy("status").count().collect()
+    val statusCounts = timed("plan_fetch", wave) { results.toDF().groupBy("status").count().collect() }
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nFetched = statusCounts.getOrElse("extracted", 0L)
     val nPlanned = statusCounts.values.sum
@@ -245,6 +258,12 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .withColumn("error_message", when(col("r_status").isNotNull && col("r_status") =!= "extracted",
         col("r_status")).otherwise(col("error_message")))
       .drop("r_url", "r_status", "r_http", "r_wave")
+    // robots metric rides the frontier-write action — no separate job
+    val robotsObs = org.apache.spark.sql.Observation()
+    val frontierToWrite = frontierNext.observe(robotsObs,
+      count(when(col("status") === "robots_blocked" &&
+        col("processed_wave") === -1 && col("discovered_wave") === wave, 1))
+        .as("robots_blocked"))
 
     // politeness: per-host outcome aggregation → pure kernel update
     val outcomes = results.groupByKey(_.host).mapGroups { (h, it) =>
@@ -278,36 +297,38 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       }
 
     // seen bloom bank: merge this wave's new URLs in
-    val bankNext = mergeBloomBank(bloomBank,
-      discovered.select("host_bucket", "norm_url").as[(Int, String)])
+    val bankNext = timed("bloom_merge", wave) { mergeBloomBank(bloomBank,
+      discovered.select("host_bucket", "norm_url").as[(Int, String)]) }
 
     val pins = Map(
-      "frontier" -> store.write(frontierNext, "frontier", wave,
-        lineage = s"wave $wave rewrite"),
+      "frontier" -> timed("write_frontier", wave) { store.write(frontierToWrite, "frontier", wave,
+        lineage = s"wave $wave rewrite") },
       // results is append-only: each wave writes only its delta
       // (readAll() is the log view) — no O(history) rewrite per wave
-      "results" -> store.write(results.toDF(), "results", wave, nPlanned,
-        lineage = s"wave $wave delta"),
-      "politeness" -> store.write(politenessNext.toDF(), "politeness", wave),
+      "results" -> timed("write_results", wave) { store.write(results.toDF(), "results", wave, nPlanned,
+        lineage = s"wave $wave delta") },
+      // host-cardinality tables: one file per snapshot, not one per task
+      "politeness" -> timed("write_politeness", wave) { store.write(politenessNext.toDF().coalesce(1), "politeness", wave) },
       "seen_bloom" -> store.write(
-        bankNext.toSeq.toDF("bucket", "bloom"), "seen_bloom", wave),
+        bankNext.toSeq.toDF("bucket", "bloom").coalesce(1), "seen_bloom", wave),
       "discovery_state" -> {
         val dueSet = dueIds(due)
         val kept = store.read(spark, "discovery_state").as[(String, Int)]
           .filter(r => !dueSet.contains(r._1)).toDF("source_id", "last_wave")
         val fresh = due.map(s => (s.source_id, wave)).toDF("source_id", "last_wave")
-        store.write(kept.unionByName(fresh), "discovery_state", wave)
+        store.write(kept.unionByName(fresh).coalesce(1), "discovery_state", wave)
       })
 
     val metrics = WaveMetrics(wave, nDiscovered, math.max(0, nDuplicates),
-      nOutOfScope, nFiltered, nExpired, nPlanned, nFetched, nFailed, nRobots)
+      nOutOfScope, nFiltered, nExpired, nPlanned, nFetched, nFailed,
+      robotsObs.get("robots_blocked").asInstanceOf[Long])
     store.commitWave(wave, pins, Map(
       "discovered" -> metrics.discovered, "duplicates" -> metrics.duplicates,
       "out_of_scope" -> metrics.out_of_scope, "filtered" -> metrics.filtered,
       "expired" -> metrics.expired, "planned" -> metrics.planned,
       "fetched" -> metrics.fetched, "failed" -> metrics.failed,
       "robots_blocked" -> metrics.robots_blocked))
-    frontier.unpersist(); normalized.unpersist(); results.unpersist()
+    frontier.unpersist(); results.unpersist()
     gated.unpersist(); discovered.unpersist()
     metrics
   }
