@@ -16,9 +16,12 @@ import org.apache.spark.sql.SparkSession
 object ScalingBench {
 
   private def session(cpus: Int): SparkSession = {
+    val localDir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "spark-local")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
+      .config("spark.local.dir", localDir.toString) // tmpfs shuffle
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -30,8 +33,8 @@ object ScalingBench {
 
   /** Run one full crawl; returns (seconds, urlsDiscovered, fetched). */
   private def runOnce(spark: SparkSession, cfg: Synth.Config): (Double, Long, Long) = {
-    val store = new SnapshotStore(
-      java.nio.file.Files.createTempDirectory("graft-scale").toString)
+    val store = new SnapshotStore(java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft-scale").toString)
     val t0 = System.nanoTime()
     val metrics = new CrawlEngine(spark, cfg, store).run()
     val sec = (System.nanoTime() - t0) / 1e9

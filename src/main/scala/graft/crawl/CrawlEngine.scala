@@ -107,7 +107,10 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     }
 
     val cfgB = spark.sparkContext.broadcast(cfg)
-    val raw = due.flatMap { s =>
+    // sources snapshot is a single file (host-cardinality); spread the
+    // expansion across all cores — without this, the whole
+    // expand+normalize chain runs in ONE task regardless of cluster size
+    val raw = due.repartition(spark.sparkContext.defaultParallelism).flatMap { s =>
       val hostIdx = s.source_id.stripPrefix("src-").toInt
       Synth.rawLinks(cfgB.value)(hostIdx, wave).map { case (url, slot) =>
         (s.source_id, s.host_norm, url,
@@ -158,8 +161,10 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val nb = cfg.nBuckets
     val withBucket = candidates
       .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(nb.toLong)).cast("int"))
-    val maybeSeen = withBucket.filter(mightContainUdf(bankB)(col("host_bucket"), col("norm_url")))
-    val definitelyNew = withBucket.filter(!mightContainUdf(bankB)(col("host_bucket"), col("norm_url")))
+      .withColumn("maybe_seen", // evaluated once, reused by both branches
+        mightContainUdf(bankB)(col("host_bucket"), col("norm_url")))
+    val maybeSeen = withBucket.filter(col("maybe_seen")).drop("maybe_seen")
+    val definitelyNew = withBucket.filter(!col("maybe_seen")).drop("maybe_seen")
     val confirmedNew = maybeSeen.join(
       frontier.select(col("norm_url").as("seen_url")),
       maybeSeen("norm_url") === col("seen_url"), "left_anti")

@@ -63,9 +63,24 @@ object CrawlQueries {
         "consecutive_failures", "bot_encounters", "forbidden_count")
       .orderBy("host")
 
+  /** Multimodal decode/feature pass over the fetched binary payloads. */
+  val qImageDecode: Q = (s, dir) =>
+    graft.ops.ImageOps.decodeFeatures(
+      storeFor(s, dir).readAll(s, "results").filter(col("status") === "extracted"))
+      .orderBy("image_id")
+
+  /** Thumbnail + perceptual-hash extraction (resize path). */
+  val qImageThumbs: Q = (s, dir) =>
+    graft.ops.ImageOps.thumbnails(
+      storeFor(s, dir).readAll(s, "results").filter(col("status") === "extracted"))
+      .select("image_id", "thumb_w", "thumb_h", "thumb_phash")
+      .orderBy("image_id")
+
   val queries: Map[String, Q] = Map(
     "q_crawl_results" -> qCrawlResults,
     "q_crawl_status_counts" -> qCrawlStatusCounts,
     "q_crawl_seen_by_bucket" -> qCrawlSeenByBucket,
-    "q_crawl_politeness" -> qCrawlPoliteness)
+    "q_crawl_politeness" -> qCrawlPoliteness,
+    "q_image_decode" -> qImageDecode,
+    "q_image_thumbs" -> qImageThumbs)
 }

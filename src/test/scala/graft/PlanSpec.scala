@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: these assert the *plan shape*, not the
+  * result — a correct query that scans all columns or shuffles a
+  * broadcastable dimension is a regression at 100 TB even if its rows
+  * match. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-audit")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q_s2_fifo_scan: filter pushed to parquet, columns pruned") {
+    val p = plan("q_s2_fifo_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]"),
+      s"filter not pushed:\n$p")
+    // only the needed columns reach the scan
+    assert(p.contains("ReadSchema") && !p.contains("props"), s"columns not pruned:\n$p")
+  }
+
+  test("q_j1_dim_join: dimensions broadcast, no shuffle join on lineitem") {
+    val p = plan("q_j1_dim_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+    // lineitem scan reads only the 2 needed columns
+    assert(p.contains("l_suppkey") && !p.contains("l_shipdate"),
+      s"lineitem not column-pruned:\n$p")
+  }
+
+  test("q_j2_antijoin: planned as broadcast anti-join (no SMJ)") {
+    val p = plan("q_j2_antijoin")
+    assert(p.contains("LeftAnti"), s"anti-join lost:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") === false,
+      s"anti-join shape:\n$p")
+  }
+
+  test("q_f2_normalize_url: native expression lives inside WholeStageCodegen") {
+    val df = SparkEntry.queries("q_f2_normalize_url")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("normalizeurl") || p.contains("NormalizeUrl") ||
+      df.queryExecution.explainString(ExplainMode.fromString("codegen")).contains("UrlCodegen"),
+      "NormalizeUrl not codegen'd")
+  }
+
+  test("q_w3_topk_per_source: single shuffle for the ranking window") {
+    val p = plan("q_w3_topk_per_source")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    // one hash exchange for the window partition + the final range sort
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n$p")
+  }
+
+  test("q_dedup_exact: map-side partial aggregation present") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial (map-side) aggregate:\n$p") // partial + final
+  }
+
+  test("q_sim_cosine_topk: broadcast query vector + TakeOrderedAndProject") {
+    val p = plan("q_sim_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to full sort:\n$p")
+  }
+}
