@@ -301,28 +301,42 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           wave, waveSec, cdB.value.getOrElse(host, 0.0))
       }
 
-    // seen bloom bank: merge this wave's new URLs in
-    val bankNext = timed("bloom_merge", wave) { mergeBloomBank(bloomBank,
-      discovered.select("host_bucket", "norm_url").as[(Int, String)]) }
-
+    // the five state writes are independent (their inputs are cached or
+    // driver-local) — submit them as concurrent Spark jobs so the wave
+    // commit's serial section is max(write) not sum(writes)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fFrontier = Future(timed("write_frontier", wave) {
+      store.write(frontierToWrite, "frontier", wave, lineage = s"wave $wave rewrite")
+    })
+    // results is append-only: each wave writes only its delta
+    // (readAll() is the log view) — no O(history) rewrite per wave
+    val fResults = Future(timed("write_results", wave) {
+      store.write(results.toDF(), "results", wave, nPlanned, lineage = s"wave $wave delta")
+    })
+    // host-cardinality tables: one file per snapshot, not one per task
+    val fPoliteness = Future(timed("write_politeness", wave) {
+      store.write(politenessNext.toDF().coalesce(1), "politeness", wave)
+    })
+    val fBloom = Future(timed("bloom_merge", wave) {
+      val bankNext = mergeBloomBank(bloomBank,
+        discovered.select("host_bucket", "norm_url").as[(Int, String)])
+      store.write(bankNext.toSeq.toDF("bucket", "bloom").coalesce(1), "seen_bloom", wave)
+    })
+    val fDiscState = Future {
+      val dueSet = dueIds(due)
+      val kept = store.read(spark, "discovery_state").as[(String, Int)]
+        .filter(r => !dueSet.contains(r._1)).toDF("source_id", "last_wave")
+      val fresh = due.map(s => (s.source_id, wave)).toDF("source_id", "last_wave")
+      store.write(kept.unionByName(fresh).coalesce(1), "discovery_state", wave)
+    }
     val pins = Map(
-      "frontier" -> timed("write_frontier", wave) { store.write(frontierToWrite, "frontier", wave,
-        lineage = s"wave $wave rewrite") },
-      // results is append-only: each wave writes only its delta
-      // (readAll() is the log view) — no O(history) rewrite per wave
-      "results" -> timed("write_results", wave) { store.write(results.toDF(), "results", wave, nPlanned,
-        lineage = s"wave $wave delta") },
-      // host-cardinality tables: one file per snapshot, not one per task
-      "politeness" -> timed("write_politeness", wave) { store.write(politenessNext.toDF().coalesce(1), "politeness", wave) },
-      "seen_bloom" -> store.write(
-        bankNext.toSeq.toDF("bucket", "bloom").coalesce(1), "seen_bloom", wave),
-      "discovery_state" -> {
-        val dueSet = dueIds(due)
-        val kept = store.read(spark, "discovery_state").as[(String, Int)]
-          .filter(r => !dueSet.contains(r._1)).toDF("source_id", "last_wave")
-        val fresh = due.map(s => (s.source_id, wave)).toDF("source_id", "last_wave")
-        store.write(kept.unionByName(fresh).coalesce(1), "discovery_state", wave)
-      })
+      "frontier" -> Await.result(fFrontier, Duration.Inf),
+      "results" -> Await.result(fResults, Duration.Inf),
+      "politeness" -> Await.result(fPoliteness, Duration.Inf),
+      "seen_bloom" -> Await.result(fBloom, Duration.Inf),
+      "discovery_state" -> Await.result(fDiscState, Duration.Inf))
 
     val metrics = WaveMetrics(wave, nDiscovered, math.max(0, nDuplicates),
       nOutOfScope, nFiltered, nExpired, nPlanned, nFetched, nFailed,
