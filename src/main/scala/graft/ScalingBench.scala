@@ -33,12 +33,22 @@ object ScalingBench {
 
   /** Run one full crawl; returns (seconds, urlsDiscovered, fetched). */
   private def runOnce(spark: SparkSession, cfg: Synth.Config): (Double, Long, Long) = {
-    val store = new SnapshotStore(java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft-scale").toString)
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft-scale")
+    val store = new SnapshotStore(dir.toString)
     val t0 = System.nanoTime()
     val metrics = new CrawlEngine(spark, cfg, store).run()
     val sec = (System.nanoTime() - t0) / 1e9
+    deleteRecursively(dir)
     (sec, metrics.map(_.discovered).sum, metrics.map(_.fetched).sum)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -48,7 +58,12 @@ object ScalingBench {
     val nLow = args.lift(3).map(_.toInt).getOrElse(8)
     val nHigh = args.lift(4).map(_.toInt).getOrElse(32)
     val cfg = Synth.Config(nHosts = nHosts, urlsPerHostPerWave = perWave, nWaves = nWaves)
-    val warmCfg = Synth.Config(nHosts = 20, urlsPerHostPerWave = 10, nWaves = 1)
+    // warm-up proportional to the real world so the JIT reaches steady
+    // state before measurement — a token warm-up biases whichever
+    // parallelism level happens to run second
+    val warmCfg = cfg.copy(nHosts = math.max(500, nHosts / 8),
+      urlsPerHostPerWave = math.max(10, perWave / 4),
+      nWaves = math.min(2, nWaves))
 
     def measure(cpus: Int): (Double, Long, Long) = {
       val spark = session(cpus)

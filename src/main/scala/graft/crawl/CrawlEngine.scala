@@ -77,6 +77,9 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 
   // ---------------------------------------------------------------- waves
 
+  // driver-resident seen-filter bank (rebuilt from the snapshot on resume)
+  @volatile private var bankCache: Option[Map[Int, Array[Byte]]] = None
+
   private val trace = sys.env.get("GRAFT_TRACE").contains("1")
   private def timed[T](label: String, wave: Int)(f: => T): T = {
     if (!trace) f
@@ -153,8 +156,10 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         col("r.src_host"), col("r.host"), col("r.pub_day"), col("r.discovered_by"))
 
     // J6: Bloom-prefiltered exact seen check (filters broadcast
-    // pre-deserialized — one object per executor, not per row)
-    val bloomBank = loadBloomBank()
+    // pre-deserialized — one object per executor, not per row). The
+    // bank stays resident on the driver between waves; the snapshot
+    // table is the durable copy for resume.
+    val bloomBank = bankCache.getOrElse(loadBloomBank())
     val bankB = spark.sparkContext.broadcast(bloomBank.map { case (b, bytes) =>
       b -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
     })
@@ -170,6 +175,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       maybeSeen("norm_url") === col("seen_url"), "left_anti")
     val newLinks = definitelyNew.unionByName(confirmedNew)
 
+    val dedupObs = org.apache.spark.sql.Observation()
     val discovered = newLinks.select(
       col("url"), col("norm_url"), col("host"), col("host_bucket"),
       col("source_id"), lit("discovered").as("status"),
@@ -178,15 +184,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       lit(-1).as("processed_wave"), lit(0).as("http_status"),
       col("pub_day").as("publish_day"), lit("").as("content_hash"),
       lit("").as("error_message"))
+      .observe(dedupObs, count(lit(1)).as("n")) // rides the first action
       .cache()
-
-    val nDiscovered = timed("dedup_seen_check", wave) { discovered.count() }
-    val discMetrics = discObs.get // filled by the count() action above
-    val nOutOfScope = discMetrics("out_of_scope").asInstanceOf[Long]
-    val nFiltered = discMetrics("filtered").asInstanceOf[Long]
-    val nExpired = discMetrics("expired").asInstanceOf[Long]
-    val nOk = discMetrics("ok").asInstanceOf[Long]
-    val nDuplicates = nOk - nDiscovered // batch dups + already-seen
 
     // ---- 2. verification (F5/F6/F9 rule cascade → status rewrite) ----
     val afterDiscovery = frontier.unionByName(discovered)
@@ -237,12 +236,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         }
       }.cache()
 
-    // one pass over results for all fetch metrics
-    val statusCounts = timed("plan_fetch", wave) { results.toDF().groupBy("status").count().collect() }
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nFetched = statusCounts.getOrElse("extracted", 0L)
-    val nPlanned = statusCounts.values.sum
-    val nFailed = nPlanned - nFetched
+    // fetch metrics observed on the results write — no counting job
+    val resultsObs = org.apache.spark.sql.Observation()
+    val resultsToWrite = results.toDF().observe(resultsObs,
+      count(lit(1)).as("planned"),
+      count(when(col("status") === "extracted", 1)).as("fetched"))
 
     // ---- 6. state rewrites + commit ----
     // frontier: fold fetch outcomes in (status transitions §1.4)
@@ -301,19 +299,24 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           wave, waveSec, cdB.value.getOrElse(host, 0.0))
       }
 
-    // the five state writes are independent (their inputs are cached or
-    // driver-local) — submit them as concurrent Spark jobs so the wave
-    // commit's serial section is max(write) not sum(writes)
+    // the results write runs FIRST and alone: it materializes the whole
+    // discovery→plan→fetch chain (and its caches), so every observation
+    // (disc/dedup/results) completes in exactly one action — observing
+    // on racing cache-splitting actions would shear the counters. The
+    // remaining four state writes only read caches / driver state and
+    // run as concurrent Spark jobs: serial section = results write +
+    // max(other writes), not a sum.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val fFrontier = Future(timed("write_frontier", wave) {
-      store.write(frontierToWrite, "frontier", wave, lineage = s"wave $wave rewrite")
-    })
     // results is append-only: each wave writes only its delta
     // (readAll() is the log view) — no O(history) rewrite per wave
-    val fResults = Future(timed("write_results", wave) {
-      store.write(results.toDF(), "results", wave, nPlanned, lineage = s"wave $wave delta")
+    val resultsPin = timed("write_results", wave) {
+      store.write(resultsToWrite, "results", wave, lineage = s"wave $wave delta")
+    }
+    val fResults = Future(resultsPin)
+    val fFrontier = Future(timed("write_frontier", wave) {
+      store.write(frontierToWrite, "frontier", wave, lineage = s"wave $wave rewrite")
     })
     // host-cardinality tables: one file per snapshot, not one per task
     val fPoliteness = Future(timed("write_politeness", wave) {
@@ -322,6 +325,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val fBloom = Future(timed("bloom_merge", wave) {
       val bankNext = mergeBloomBank(bloomBank,
         discovered.select("host_bucket", "norm_url").as[(Int, String)])
+      bankCache = Some(bankNext)
       store.write(bankNext.toSeq.toDF("bucket", "bloom").coalesce(1), "seen_bloom", wave)
     })
     val fDiscState = Future {
@@ -338,6 +342,17 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       "seen_bloom" -> Await.result(fBloom, Duration.Inf),
       "discovery_state" -> Await.result(fDiscState, Duration.Inf))
 
+    // all counters come from observations riding the write actions
+    val discMetrics = discObs.get
+    val nOutOfScope = discMetrics("out_of_scope").asInstanceOf[Long]
+    val nFiltered = discMetrics("filtered").asInstanceOf[Long]
+    val nExpired = discMetrics("expired").asInstanceOf[Long]
+    val nOk = discMetrics("ok").asInstanceOf[Long]
+    val nDiscovered = dedupObs.get("n").asInstanceOf[Long]
+    val nDuplicates = nOk - nDiscovered // batch dups + already-seen
+    val nPlanned = resultsObs.get("planned").asInstanceOf[Long]
+    val nFetched = resultsObs.get("fetched").asInstanceOf[Long]
+    val nFailed = nPlanned - nFetched
     val metrics = WaveMetrics(wave, nDiscovered, math.max(0, nDuplicates),
       nOutOfScope, nFiltered, nExpired, nPlanned, nFetched, nFailed,
       robotsObs.get("robots_blocked").asInstanceOf[Long])
