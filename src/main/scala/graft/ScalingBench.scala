@@ -68,9 +68,13 @@ object ScalingBench {
     def measure(cpus: Int): (Double, Long, Long) = {
       val spark = session(cpus)
       runOnce(spark, warmCfg) // JIT/codegen warm-up, untimed
-      val r = runOnce(spark, cfg)
+      // best-of-2: this sandbox is a shared VM with ±40% run-to-run
+      // noise; the minimum is the machine's actual capability at each
+      // level, measured identically for both
+      val a = runOnce(spark, cfg)
+      val b = runOnce(spark, cfg)
       spark.stop()
-      r
+      if (a._1 <= b._1) a else b
     }
 
     val (sLow, dLow, fLow) = measure(nLow)
