@@ -1,0 +1,78 @@
+package graft
+
+import graft.crawl.Maintenance
+import graft.sources.SourceCsv
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** M1/M2/M3 maintenance rewrites + S12 CSV seed ingestion. */
+class MaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def frontier = Seq(
+    // norm_url, source_id, status, discovered_wave
+    ("u1", "s1", "article", 0),
+    ("u2", "s1", "article", 9),
+    ("u3", "s2", "discovered", 0),
+    ("u4", "s2", "extracted", 1),
+    ("u5", "s2", "404", 0)
+  ).toDF("norm_url", "source_id", "status", "discovered_wave")
+
+  test("M1 expireStale pauses only old article rows") {
+    val out = Maintenance.expireStale(frontier, currentWave = 10, maxAgeWaves = 5)
+      .select("norm_url", "status").as[(String, String)].collect().toMap
+    assert(out("u1") == "paused") // old article
+    assert(out("u2") == "article") // recent article
+    assert(out("u3") == "discovered") // not article → untouched
+    assert(out("u4") == "extracted")
+    assert(out("u5") == "404")
+  }
+
+  test("A11 staleBreakdown counts per source") {
+    val rows = Maintenance.staleBreakdown(frontier, 10, 5).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "s1" && rows(0).getLong(1) == 1L)
+  }
+
+  test("M2 stuckStates reports non-terminal laggards") {
+    val rows = Maintenance.stuckStates(frontier, 10, 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("article" -> 1L, "discovered" -> 1L))
+  }
+
+  test("M3 repairNullPayloads resets empty-payload fetches") {
+    val results = Seq(
+      ("u4", "extracted", Array.empty[Byte]),
+      ("u1", "extracted", Array[Byte](1, 2, 3))
+    ).toDF("norm_url", "status", "bytes")
+    val out = Maintenance.repairNullPayloads(frontier, results)
+      .select("norm_url", "status").as[(String, String)].collect().toMap
+    assert(out("u4") == "article") // empty payload → re-fetch
+    assert(out("u1") == "article") // was article anyway
+  }
+
+  test("S12 CSV seed load normalizes hosts and drops unparseable rows") {
+    val csv = Files.createTempDirectory("seeds").resolve("pubs.csv")
+    Files.writeString(csv,
+      """host,name,frequency,bot_sensitivity
+        |www.Example.com,Example Paper,weekly,7
+        |news.site.org:8080,Site News,daily,
+        |,,daily,3
+        |""".stripMargin)
+    val srcs = SourceCsv.load(spark, csv.toString).collect()
+    assert(srcs.length == 2)
+    val byHost = srcs.map(s => s.host_norm -> s).toMap
+    assert(byHost.contains("example.com"))
+    assert(byHost("example.com").bot_sensitivity == 7)
+    assert(byHost("news.site.org").bot_sensitivity == 5) // default
+    assert(byHost("news.site.org").frequency == "daily")
+    assert(srcs.forall(_.source_id.startsWith("src-")))
+  }
+}
