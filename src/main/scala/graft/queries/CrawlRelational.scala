@@ -521,7 +521,65 @@ object CrawlRelational {
          FROM customer c)
        ORDER BY c_custkey"""
 
+  // F9: wire-pattern short-circuit (url_verification.py:372-393)
+  private val f9Paths = Seq("/wire/ap-story", "/stories/local", "/national/wire/x", "/stories/metro")
+  val qF9WireFilter: Q = (s, dir) =>
+    t(s, dir, "documents").select("doc_id", "source")
+      .withColumn("url", concat(lit("https://"), col("source"), lit(".example"), pathCase(f9Paths)))
+      .withColumn("is_wire", lower(col("url")).rlike("/wire/"))
+      .select("doc_id", "url", "is_wire")
+      .orderBy("doc_id")
+  val sF9 =
+    s"""SELECT doc_id, url, regexp_matches(lower(url), '/wire/') AS is_wire
+       FROM (SELECT doc_id, 'https://' || source || '.example' || ${pathCaseSql(f9Paths)} AS url
+             FROM documents)
+       ORDER BY doc_id"""
+
+  // C6: multi-format date parsing with try-fallback cascade
+  // (discovery.py:63-158 _parse_date)
+  private val monthAbbr = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+  val qC6DateParse: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select("doc_id")
+      .withColumn("y", (lit(2020) + col("doc_id") % 5).cast("int"))
+      .withColumn("m", (lit(1) + col("doc_id") % 12).cast("int"))
+      .withColumn("dd", (lit(1) + col("doc_id") % 28).cast("int"))
+      .withColumn("mon", element_at(
+        array(monthAbbr.map(lit): _*), (col("doc_id") % 12 + 1).cast("int")))
+    val str = when(col("doc_id") % 3 === 0,
+        format_string("%04d-%02d-%02d", col("y"), col("m"), col("dd")))
+      .when(col("doc_id") % 3 === 1,
+        format_string("%02d/%02d/%04d", col("m"), col("dd"), col("y")))
+      .otherwise(concat(format_string("%02d ", col("dd")), col("mon"),
+        format_string(" %04d", col("y"))))
+    d.withColumn("date_str", str)
+      .withColumn("parsed_us", unix_micros(coalesce(
+        expr("try_to_timestamp(date_str, 'yyyy-MM-dd')"),
+        expr("try_to_timestamp(date_str, 'MM/dd/yyyy')"),
+        expr("try_to_timestamp(date_str, 'dd MMM yyyy')")).cast("timestamp")))
+      .select("doc_id", "date_str", "parsed_us")
+      .orderBy("doc_id")
+  }
+  val sC6 = {
+    val mons = monthAbbr.map(m => s"'$m'").mkString(", ")
+    s"""SELECT doc_id, date_str, epoch_us(coalesce(
+           try_strptime(date_str, '%Y-%m-%d'),
+           try_strptime(date_str, '%m/%d/%Y'),
+           try_strptime(date_str, '%d %b %Y'))) AS parsed_us
+       FROM (SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN format('{:04d}-{:02d}-{:02d}', y, m, dd)
+           WHEN 1 THEN format('{:02d}/{:02d}/{:04d}', m, dd, y)
+           ELSE format('{:02d} ', dd) || [$mons][CAST(doc_id % 12 + 1 AS INT)] || format(' {:04d}', y) END AS date_str
+         FROM (SELECT doc_id, CAST(2020 + doc_id % 5 AS INT) AS y,
+                 CAST(1 + doc_id % 12 AS INT) AS m, CAST(1 + doc_id % 28 AS INT) AS dd
+               FROM documents))
+       ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_f9_wire_filter" -> qF9WireFilter,
+    "q_c6_date_parse" -> qC6DateParse,
     "q_s1_source_scan" -> qS1SourceScan,
     "q_s2_fifo_scan" -> qS2FifoScan,
     "q_s3_mixed_scan" -> qS3MixedScan,
@@ -552,6 +610,8 @@ object CrawlRelational {
     "q_f11_due_filter" -> qF11DueFilter)
 
   val oracle: Map[String, String] = Map(
+    "q_f9_wire_filter" -> sF9,
+    "q_c6_date_parse" -> sC6,
     "q_s1_source_scan" -> sS1,
     "q_s2_fifo_scan" -> sS2,
     "q_s3_mixed_scan" -> sS3,
