@@ -24,9 +24,13 @@ object PyUrl {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
 
-  /** CPython urlsplit (params left inside path, as urlunparse rejoins them). */
+  /** CPython urlsplit (params left inside path, as urlunparse rejoins them).
+    * Tab/CR/LF are removed anywhere in the input first
+    * (CPython's _UNSAFE_URL_BYTES_TO_REMOVE, bpo-43882). */
   def urlsplit(url: String): Split = {
-    var rest = url
+    var rest =
+      if (url.indexOf('\t') < 0 && url.indexOf('\r') < 0 && url.indexOf('\n') < 0) url
+      else url.filterNot(c => c == '\t' || c == '\r' || c == '\n')
     var scheme = ""
     val colon = rest.indexOf(':')
     if (colon > 0) {

@@ -92,6 +92,15 @@ object functions {
   def host_bucket(url: Column, nBuckets: Int): Column =
     pmod(xxhash64(canonical_host(url)), lit(nBuckets.toLong)).cast("int")
 
+  /** JVM-side mirror of `pmod(xxhash64(host), nBuckets)` — bit-identical
+    * to the Catalyst expression; used to pre-compute the wave's touched
+    * buckets from the (host-cardinality) due set for scan pruning. */
+  def hostBucketJvm(host: String, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val h = XxHash64Function.hash(UTF8String.fromString(host), StringType, 42L)
+    java.lang.Math.floorMod(h, nBuckets.toLong).toInt
+  }
+
   /** Skip-pattern predicate (F4): true ⇔ url passes the substring
     * blacklist. Pure built-ins → codegen'd. */
   def passes_skip_patterns(url: Column): Column = {
@@ -121,7 +130,24 @@ object functions {
 
   /** Deterministic cross-host mixing key replacing ORDER BY RANDOM()
     * (extraction.py:888): seeded hash order, reproducible across engines
-    * and partitionings. */
+    * and partitionings. md5-hex form — kept for the SQL-expressible
+    * oracle queries (DuckDB has md5); the engine hot path uses
+    * [[mix_key64]]. */
   def mix_key(seed: Long, c: Column): Column =
     md5(concat_ws("|", lit(seed.toString), c.cast("string")))
+
+  /** 64-bit seeded mixing key for the engine's ranking shuffle — an
+    * 8-byte long instead of a 32-char md5 hex string on the hottest
+    * sort path (≈4× narrower shuffle rows). Spark's xxhash64 chains
+    * children from seed 42: hash(str, hash(seedLong, 42)). */
+  def mix_key64(seed: Long, c: Column): Column = xxhash64(lit(seed), c)
+
+  /** JVM-side mirror of [[mix_key64]] for the single-threaded oracle —
+    * bit-identical to the Catalyst expression. */
+  def mixKey64(seed: Long, s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val h1 = XxHash64Function.hash(seed, LongType, 42L)
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, h1)
+  }
 }

@@ -1,84 +1,111 @@
 package graft.crawl
 
-import graft.core.{UrlKernels, functions => gf}
+import graft.core.{functions => gf}
 import graft.model._
 import graft.ops.ImageKernels
 import graft.store.SnapshotStore
 import graft.synth.Synth
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.util.sketch.BloomFilter
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 /** The Spark-native URL-frontier + fetch scheduler (BASELINE.json
   * north rule). One wave =
   *
-  *   sources(due) → flatMap(expand) → normalize → scope/skip/recency
-  *     → batch-dedup (W2) → Bloom-prefiltered exact anti-join vs seen
-  *     → append `discovered`
-  *   → verification status rewrite (wire/regex/article rules)
-  *   → robots longest-match gate (broadcast join)
-  *   → per-host politeness token ranking (W1/W4) over available hosts
-  *   → repartition(host_bucket) → mapPartitions(resolve) → results
-  *   → frontier/politeness/seen/metrics snapshot commit (resumable)
+  *   sources⋈state(due) → per-source method cascade (RSS → homepage →
+  *     section crawl, ≥max/2 short-circuit) → normalize → scope/skip/
+  *     recency → order-preserving batch dedup (W2/U1) → bucket-
+  *     co-partitioned Bloom screen → bucket-pruned exact seen confirm
+  *   → verification + robots gate applied to the DELTA (per-row rules)
+  *   → merge-on-read plan view → per-host bounded top-k token ranking
+  *   → fetch (mapPartitions resolver) → X4 content typing
+  *   → delta-only state commits (frontier/seen/bloom appends + bucket
+  *     replacement; host-cardinality rewrites for politeness/state)
   *
-  * Scale design (10^10-URL frontier): the frontier and seen tables are
-  * hash-bucketed by canonical host (`host_bucket`), written
-  * `partitionBy(host_bucket)` so bucket joins prune at the scan; the
-  * Bloom bank (one spark.util.sketch.BloomFilter per bucket) screens
-  * definitely-new URLs out of the exact anti-join, so the shuffled
-  * anti-join input is |dups + false-positives|, not |batch|; the
-  * politeness/robots tables are host-cardinality and broadcast; hot
-  * hosts cannot skew fetch partitions because the token cap (≤3/wave)
-  * bounds per-host fanout before the shuffle. All "time" is logical
-  * (wave number × waveSeconds), which makes runs bit-identical at any
-  * parallelism — the two-cluster-size equivalence the north rule
-  * demands.
-  */
+  * Scale design (10^10-URL frontier):
+  *  - The frontier is an append-only DELTA LOG partitioned by
+  *    `host_bucket`: each wave writes O(|delta|) bytes (discovered rows
+  *    + fetch-outcome updates), never a frontier rewrite; the current
+  *    row of a URL is its max-seq version (merge-on-read), and the log
+  *    is compacted to one row per URL every `compactEvery` waves, so
+  *    read amplification is bounded and amortized.
+  *  - The URL-seen layer is (a) a bucket-keyed Bloom bank TABLE whose
+  *    membership checks and merges run bucket-co-partitioned in
+  *    executors (the driver never holds or broadcasts the bank) and
+  *    (b) a dedicated bucket-partitioned `seen` key table; the exact
+  *    confirm join scans only the wave's touched buckets (manifest
+  *    file pruning) and joins only the Bloom-positive remainder —
+  *    |dups + false positives|, not |batch|, and never a seen shuffle.
+  *  - Robots rules and politeness tokens are host-cardinality tables
+  *    joined in by broadcast; longest-match is a pre-sorted-array HOF
+  *    expression, not a driver map.
+  *  - Per-host ranking uses a 64-bit xxhash mix key (not md5 hex) and a
+  *    bounded top-k `flatMapGroups` (O(tokens) memory, no per-host
+  *    sort), so hot hosts cannot skew or OOM a task.
+  *  - All "time" is logical (wave number; 1 wave ≙ 1 day for ledger/TTL
+  *    rules), which makes runs bit-identical at any parallelism — the
+  *    two-cluster-size equivalence the north rule demands.
+  *
+  * Reference semantics: discovery cascade source_processing.py:624-677;
+  * section discovery/crawl discovery.py:647-997; RSS ledger
+  * discovery.py:1158-1515; dead-URL TTL crawler/__init__.py:509-513;
+  * adaptive pause source_processing.py:301-380; content types
+  * extraction.py:1085-1105; frontier upsert database.py:797-828. */
 final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotStore) {
   import spark.implicits._
+  import CrawlEngine._
 
   private val SeenFpp = 0.01
   private val bloomCapacityPerBucket =
     math.max(1000L, cfg.nHosts.toLong * cfg.urlsPerHostPerWave * cfg.nWaves / cfg.nBuckets * 2)
 
-  // host → robots crawl_delay (host-cardinality; broadcast)
-  private lazy val crawlDelayByHost: Map[String, Double] =
-    Synth.robots(spark, cfg).collect()
-      .groupBy(_.host).map { case (h, rs) => h -> rs.head.crawl_delay_s }
+  /** Every state table a wave commit pins (crash recovery rolls each
+    * back to the last commit's pin). */
+  val AllTables: Seq[String] = Seq("sources", "robots", "politeness",
+    "source_state", "frontier", "seen", "seen_bloom", "results", "telemetry")
 
-  // host → (ordered robots rules) for longest-match gating
-  private lazy val robotsRules: Map[String, Seq[(String, Boolean)]] =
-    Synth.robots(spark, cfg).collect()
-      .groupBy(_.host)
-      .map { case (h, rs) =>
-        h -> rs.sortBy(r => -r.path_prefix.length).map(r => (r.path_prefix, r.allow)).toSeq
-      }
+  /** Host-cardinality tables: write a bounded number of files, scaling
+    * with host count (not 1, not #shuffle-partitions). */
+  private def hostFiles: Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, cfg.nHosts / 10000 + 1))
 
   def init(): Unit = {
     if (store.lastCommittedWave() >= 0) return // resume — keep state
     val sources = Synth.sources(spark, cfg)
-    store.write(sources.toDF().coalesce(1), "sources", wave = -1, lineage = "synth seed registry")
-    store.write(Synth.robots(spark, cfg).toDF().coalesce(1), "robots", wave = -1, lineage = "synth robots")
-    val cd = crawlDelayByHost
-    val ws = cfg.waveSeconds
-    val pol = sources.map { s =>
-      Politeness.initial(s.host_norm, s.bot_sensitivity,
-        cd.getOrElse(s.host_norm, 0.0), ws)
+    store.write(sources.toDF().coalesce(hostFiles), "sources", wave = -1,
+      lineage = "synth seed registry")
+    val robots = spark.range(cfg.nHosts).map { i =>
+      val idx = i.toInt
+      RobotsHost(Synth.hostName(idx), Synth.crawlDelayOf(idx),
+        Synth.robotsRulesOf(idx).map { case (p, a) => RulePrefix(p, a) })
     }
-    store.write(pol.toDF().coalesce(1), "politeness", wave = -1, lineage = "sensitivity ladder init")
-    store.write(spark.emptyDataset[FrontierRow].toDF(), "frontier", wave = -1)
+    store.write(robots.toDF().coalesce(hostFiles), "robots", wave = -1,
+      lineage = "synth robots, longest-match-sorted (allow wins ties)")
+    val ws = cfg.waveSeconds
+    val pol = spark.range(cfg.nHosts).map { i =>
+      val idx = i.toInt
+      Politeness.initial(Synth.hostName(idx), Synth.sensitivityOf(idx),
+        Synth.crawlDelayOf(idx), ws)
+    }
+    store.write(pol.toDF().coalesce(hostFiles), "politeness", wave = -1,
+      lineage = "sensitivity ladder init")
+    val state = spark.range(cfg.nHosts).map { i =>
+      val idx = i.toInt
+      SourceRules.initial(f"src-$idx%04d", Synth.hostName(idx))
+    }
+    store.write(state.toDF().coalesce(hostFiles), "source_state", wave = -1,
+      lineage = "discovery state init")
+    // bucketed tables start as empty bucketed snapshots (schema pin only)
+    store.writeBucketed(spark.emptyDataset[FrontierRow].toDF(), "frontier",
+      wave = -1, bucketCol = "host_bucket")
+    store.writeBucketed(spark.emptyDataset[SeenKey].toDF(), "seen",
+      wave = -1, bucketCol = "host_bucket")
+    store.writeBucketed(spark.emptyDataset[BloomRow].toDF(), "seen_bloom",
+      wave = -1, bucketCol = "bucket")
     store.write(spark.emptyDataset[FetchResult].toDF(), "results", wave = -1)
-    store.write(spark.emptyDataset[(String, Int)].toDF("source_id", "last_wave"),
-      "discovery_state", wave = -1)
-    store.write(spark.emptyDataset[(Int, Array[Byte])].toDF("bucket", "bloom"),
-      "seen_bloom", wave = -1)
+    store.write(spark.emptyDataset[TelemetryRow].toDF(), "telemetry", wave = -1)
   }
-
-  // ---------------------------------------------------------------- waves
-
-  // driver-resident seen-filter bank (rebuilt from the snapshot on resume)
-  @volatile private var bankCache: Option[Map[Int, Array[Byte]]] = None
 
   private val trace = sys.env.get("GRAFT_TRACE").contains("1")
   private def timed[T](label: String, wave: Int)(f: => T): T = {
@@ -91,40 +118,66 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     }
   }
 
-  def runWave(wave: Int): WaveMetrics = {
-    val frontier = store.read(spark, "frontier").cache()
-    val politeness = store.read(spark, "politeness").as[PolitenessState]
+  // ---------------------------------------------------------------- waves
 
-    // ---- 1. discovery (S1/S5/S6 → F-chain → J6/S9) ----
+  def runWave(wave: Int): WaveMetrics = {
+    val nb = cfg.nBuckets
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    val politeness = store.read(spark, "politeness").as[PolitenessState]
     val sources = store.read(spark, "sources").as[Source]
-    val discState = store.read(spark, "discovery_state")
-      .as[(String, Int)].collect().toMap // source-cardinality
-    val due = sources.filter { s =>
-      s.status == "active" && {
-        val cadence = UrlKernels.parseFrequencyToDays(s.frequency)
-        discState.get(s.source_id) match {
-          case None => true
-          case Some(last) => (wave - last).toDouble >= cadence
+    val state = store.read(spark, "source_state").as[SourceState]
+    val robots = store.read(spark, "robots")
+
+    // ---- 1. due sources (F11 + F12 gates, join-based — no driver map)
+    val due = sources
+      .joinWith(state, sources("source_id") === state("source_id"), "inner")
+      .filter((t: (Source, SourceState)) =>
+        SourceRules.due(t._2, t._1.status, t._1.frequency, wave))
+      .map { (t: (Source, SourceState)) =>
+        val s = t._1; val st = t._2
+        DueSource(s.source_id, s.host_norm, s.frequency,
+          s.source_id.stripPrefix("src-").toInt,
+          SourceRules.rssSkipped(st, s.frequency, wave),
+          st.discovered_sections)
+      }.cache()
+
+    // buckets this wave can touch — from the due hosts (host-cardinality,
+    // collapses to ≤ nBuckets ints). Drives seen/bloom scan pruning.
+    val touched: Seq[Int] =
+      due.map(d => gf.hostBucketJvm(d.host_norm, nb)).distinct().collect().toSeq.sorted
+
+    // ---- 2. discovery: per-source method cascade (S5/S6/S13 + U1) ----
+    // RSS first; if it yields ≥ max/2 links the remaining methods are
+    // skipped (source_processing.py:624-677); the supplemental section
+    // crawl runs for every source with discovered sections.
+    val raw = due.repartition(spark.sparkContext.defaultParallelism).flatMap { d =>
+      val c = cfgB.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[RawLink]
+      val rssLinks =
+        if (d.rss_skip) Seq.empty
+        else Synth.rssLinks(c)(d.host_idx, wave).getOrElse(Seq.empty)
+      rssLinks.foreach { case (url, slot) =>
+        out += RawLink(d.source_id, d.host_norm, url,
+          s"rss[${d.host_norm}/w$wave#$slot]", 0)
+      }
+      val shortCircuit = rssLinks.size >= c.urlsPerHostPerWave / 2
+      if (!shortCircuit) {
+        Synth.homepageLinks(c)(d.host_idx, wave).foreach { case (url, slot) =>
+          out += RawLink(d.source_id, d.host_norm, url,
+            s"homepage[${d.host_norm}/w$wave#$slot]", 1)
         }
       }
-    }
-
-    val cfgB = spark.sparkContext.broadcast(cfg)
-    // sources snapshot is a single file (host-cardinality); spread the
-    // expansion across all cores — without this, the whole
-    // expand+normalize chain runs in ONE task regardless of cluster size
-    val raw = due.repartition(spark.sparkContext.defaultParallelism).flatMap { s =>
-      val hostIdx = s.source_id.stripPrefix("src-").toInt
-      Synth.rawLinks(cfgB.value)(hostIdx, wave).map { case (url, slot) =>
-        (s.source_id, s.host_norm, url,
-          s"discovery.synth_feed[${s.host_norm}/w$wave#$slot]") // M5 lineage
+      d.sections.foreach { sec =>
+        Synth.sectionLinks(c)(d.host_idx, wave, sec).foreach { case (url, k) =>
+          out += RawLink(d.source_id, d.host_norm, url,
+            s"section_crawl[${d.host_norm}/$sec/w$wave#$k]", 2)
+        }
       }
-    }.toDF("source_id", "src_host", "url", "discovered_by")
+      out
+    }.toDF("source_id", "src_host", "url", "discovered_by", "method_rank")
 
-    // F-chain with a single outcome tag; metrics ride the dedup action
-    // via observe() — no separate counting job (A7: "one pass, outcome
-    // enum column" — the reference's per-counter dict increments
-    // collapsed into observed aggregates)
+    // F-chain with a single outcome tag; metrics ride the first action
+    // via observe() — no separate counting job (A7)
     val discObs = org.apache.spark.sql.Observation()
     val normalized = raw
       .withColumn("norm_url", gf.normalize_url(col("url")))
@@ -143,245 +196,386 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         count(when(col("outcome") === "expired", 1)).as("expired"),
         count(when(col("outcome") === "ok", 1)).as("ok"))
 
-    // W2: first-occurrence within the batch, deterministic keep =
-    // min(url). min(struct(url, …)) instead of a row_number window:
-    // hash-aggregates partial-combine map-side, so the shuffle carries
-    // one row per norm_url, not the whole batch.
+    // W2/U1: first-occurrence within the batch in METHOD-CASCADE order —
+    // min(struct(method_rank, url, …)) hash-aggregates with map-side
+    // partial combine, so the shuffle carries one row per norm_url.
     val candidates = normalized
       .filter(col("outcome") === "ok")
       .groupBy("norm_url")
-      .agg(min(struct(col("url"), col("source_id"), col("src_host"),
-        col("host"), col("pub_day"), col("discovered_by"))).as("r"))
-      .select(col("norm_url"), col("r.url"), col("r.source_id"),
+      .agg(min(struct(col("method_rank"), col("url"), col("source_id"),
+        col("src_host"), col("host"), col("pub_day"), col("discovered_by"))).as("r"))
+      .select(col("norm_url"), col("r.method_rank"), col("r.url"), col("r.source_id"),
         col("r.src_host"), col("r.host"), col("r.pub_day"), col("r.discovered_by"))
-
-    // J6: Bloom-prefiltered exact seen check (filters broadcast
-    // pre-deserialized — one object per executor, not per row). The
-    // bank stays resident on the driver between waves; the snapshot
-    // table is the durable copy for resume.
-    val bloomBank = bankCache.getOrElse(loadBloomBank())
-    val bankB = spark.sparkContext.broadcast(bloomBank.map { case (b, bytes) =>
-      b -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
-    })
-    val nb = cfg.nBuckets
-    val withBucket = candidates
       .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(nb.toLong)).cast("int"))
-      .withColumn("maybe_seen", // evaluated once, reused by both branches
-        mightContainUdf(bankB)(col("host_bucket"), col("norm_url")))
-    val maybeSeen = withBucket.filter(col("maybe_seen")).drop("maybe_seen")
-    val definitelyNew = withBucket.filter(!col("maybe_seen")).drop("maybe_seen")
-    val confirmedNew = maybeSeen.join(
-      frontier.select(col("norm_url").as("seen_url")),
-      maybeSeen("norm_url") === col("seen_url"), "left_anti")
+      .as[CandRow]
+
+    // ---- 3. J6/X5: bucket-co-partitioned Bloom screen (executor-side;
+    // the driver never holds the bank) + bucket-pruned exact confirm
+    val blooms = store.readBuckets(spark, "seen_bloom", touched).as[BloomRow]
+    val checked: Dataset[(CandRow, Boolean)] = candidates
+      .groupByKey(_.host_bucket)
+      .cogroup(blooms.groupByKey(_.bucket)) { (_, cs, bs) =>
+        val bf = bs.nextOption()
+          .map(r => BloomFilter.readFrom(new ByteArrayInputStream(r.bloom)))
+        bf match {
+          case None => cs.map(c => (c, false))
+          case Some(f) => cs.map(c => (c, f.mightContainString(c.norm_url)))
+        }
+      }.cache()
+    val maybeSeen = checked.filter(_._2).map(_._1).toDF()
+    val definitelyNew = checked.filter(!_._2).map(_._1).toDF()
+    // exact confirm: semi-join the (pruned) seen scan against the small
+    // Bloom-positive set, then anti-join — both sides of both joins
+    // broadcast the small set; the seen table is scanned (one column,
+    // touched buckets only), never shuffled.
+    val seenScan = store.readBuckets(spark, "seen", touched).select("norm_url")
+    val hits = seenScan.join(maybeSeen.select("norm_url"), Seq("norm_url"), "left_semi")
+    val confirmedNew = maybeSeen.join(hits, Seq("norm_url"), "left_anti")
     val newLinks = definitelyNew.unionByName(confirmedNew)
 
+    // ---- 4. verification (F5/F6/F9) + robots gate — pure per-row rules
+    // applied to the DELTA only (old rows never re-verified)
+    val verified = newLinks.withColumn("status",
+      when(lower(col("norm_url")).rlike("/wire/"), lit("wire")) // F9
+        .when(!gf.is_likely_article_path(pathOf(col("norm_url"))), lit("not_article")) // F5
+        .when(gf.check_is_article(col("norm_url")), lit("article")) // F6/X1
+        .otherwise(lit("not_article")))
+    // robots: broadcast join + longest-match over the pre-sorted rule
+    // array (RFC 9309; equal-length ties favor allow — sorted at build)
+    val gatedDelta = verified
+      .join(broadcast(robots.select(col("host").as("r_host"), col("rules"))),
+        col("host") === col("r_host"), "left")
+      .withColumn("u_path", pathOf(col("norm_url")))
+      .withColumn("allowed", coalesce(
+        element_at(filter(col("rules"),
+          r => startswith(col("u_path"), r.getField("prefix"))), 1).getField("allow"),
+        lit(true)))
+      .withColumn("status",
+        when(col("status") === "article" && !col("allowed"), lit("robots_blocked"))
+          .otherwise(col("status")))
+      .drop("r_host", "rules", "u_path", "allowed")
+      .cache()
+
     val dedupObs = org.apache.spark.sql.Observation()
-    val discovered = newLinks.select(
+    val discovered = gatedDelta.select(
       col("url"), col("norm_url"), col("host"), col("host_bucket"),
-      col("source_id"), lit("discovered").as("status"),
+      col("source_id"), col("status"),
       lit(1).as("priority"), lit(0).as("crawl_depth"),
       col("discovered_by"), lit(wave).as("discovered_wave"),
       lit(-1).as("processed_wave"), lit(0).as("http_status"),
       col("pub_day").as("publish_day"), lit("").as("content_hash"),
-      lit("").as("error_message"))
-      .observe(dedupObs, count(lit(1)).as("n")) // rides the first action
+      lit("").as("error_message"),
+      lit(2L * wave).as("seq"), lit(false).as("is_update"))
+      .observe(dedupObs,
+        count(lit(1)).as("n"),
+        count(when(col("status") === "robots_blocked", 1)).as("robots_blocked"))
+
+    // ---- 5. plan: merge-on-read over the delta log (latest row per
+    // URL), F10 TTL re-admission, politeness tokens, bounded top-k ----
+    // pre-filter before the merge shuffle: only rows that can be (or
+    // shadow) plan-eligible versions — 'article' backlog, '404' rows
+    // awaiting TTL re-admission (F10), and outcome updates that may
+    // supersede them. not_article/wire/robots_blocked discovery rows are
+    // never updated and never eligible, so they skip the shuffle.
+    val log = store.read(spark, "frontier")
+    val planInput = log
+      .filter(col("is_update") || col("status").isin("article", "404"))
+      .unionByName(discovered.filter(col("status") === "article"))
+    val latestEligible = mergeLog(planInput)
+      .filter(col("status") === "article" ||
+        (col("status") === "404" &&
+          lit(wave) - col("processed_wave") >= lit(cfg.deadUrlTtlWaves)))
       .cache()
 
-    // ---- 2. verification (F5/F6/F9 rule cascade → status rewrite) ----
-    val afterDiscovery = frontier.unionByName(discovered)
-    val verified = afterDiscovery.withColumn("status",
-      when(col("status") === "discovered",
-        when(lower(col("norm_url")).rlike("/wire/"), lit("wire")) // F9
-          .when(!gf.is_likely_article_path(pathOf(col("norm_url"))), lit("not_article")) // F5
-          .when(gf.check_is_article(col("norm_url")), lit("article")) // F6/X1
-          .otherwise(lit("not_article")))
-        .otherwise(col("status")))
-
-    // ---- 3. robots gate (graft-added; broadcast longest-match) ----
-    val rulesB = spark.sparkContext.broadcast(robotsRules)
-    val robotsAllowsUdf = udf { (host: String, norm: String) =>
-      CrawlEngine.robotsAllows(rulesB.value, host, graft.core.PyUrl.urlsplit(norm).path)
-    }
-    val gated = verified.withColumn("status",
-      when(col("status") === "article" && !robotsAllowsUdf(col("host"), col("norm_url")),
-        lit("robots_blocked")).otherwise(col("status")))
-      .cache()
-
-    // ---- 4. wave plan (W1/W4 token ranking over available hosts) ----
     val waveSec = cfg.waveSeconds
-    val availHosts = politeness.filter(st => Politeness.available(st, wave, waveSec))
+    val availHosts = politeness
+      .filter(st => Politeness.available(st, wave, waveSec))
       .map(st => (st.host, st.tokens_per_wave))
       .toDF("p_host", "tokens")
     val mixSeed = cfg.seed + wave
-    val eligible = gated.filter(col("status") === "article")
+    val planned: Dataset[Planned] = latestEligible
       .join(broadcast(availHosts), col("host") === col("p_host"), "inner")
-      .withColumn("mix", gf.mix_key(mixSeed, col("norm_url")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("host")
-          .orderBy(desc("priority"), asc("discovered_wave"), asc("mix"))))
-      .filter(col("rn") <= col("tokens"))
-
-    val planned = eligible.select("norm_url", "host", "host_bucket", "source_id", "rn", "mix")
-
-    // ---- 5. fetch (mapPartitions resolver keyed by host bucket) ----
-    val results = planned
-      .repartition(math.max(spark.sparkContext.defaultParallelism, cfg.nBuckets),
-        col("host_bucket"))
-      .sortWithinPartitions("host", "rn")
-      .as[(String, String, Int, String, Int, String)]
-      .mapPartitions { it =>
-        val c = cfgB.value
-        it.map { case (norm, host, bucket, srcId, rn, mix) =>
-          CrawlEngine.resolve(c, norm, host, bucket, srcId, wave, rn)
+      .withColumn("mix", gf.mix_key64(mixSeed, col("norm_url")))
+      .select("norm_url", "host", "host_bucket", "source_id",
+        "priority", "discovered_wave", "mix", "tokens")
+      .as[PlanCand]
+      .groupByKey(_.host)
+      .flatMapGroups { (host, it) =>
+        // bounded selection: O(tokens) memory however large the host's
+        // backlog — a hot host streams through one task without a sort
+        var k = -1
+        val best = scala.collection.mutable.ArrayBuffer.empty[PlanCand]
+        it.foreach { c =>
+          if (k < 0) k = c.tokens
+          val pos = best.indexWhere(b => planOrder.gt(keyOf(b), keyOf(c)))
+          if (best.length < k) best.insert(if (pos < 0) best.length else pos, c)
+          else if (pos >= 0) { best.insert(pos, c); best.remove(k) }
         }
-      }.cache()
+        best.iterator.zipWithIndex.map { case (c, i) =>
+          Planned(c.norm_url, host, c.host_bucket, c.source_id, i + 1)
+        }
+      }
 
-    // fetch metrics observed on the results write — no counting job
+    // ---- 6. fetch (X2 cascade executor; X4 content typing) ----
+    val results = planned.map { p =>
+      CrawlEngine.resolve(cfgB.value, p.norm_url, p.host, p.host_bucket,
+        p.source_id, wave, p.rank)
+    }.cache()
     val resultsObs = org.apache.spark.sql.Observation()
     val resultsToWrite = results.toDF().observe(resultsObs,
       count(lit(1)).as("planned"),
-      count(when(col("status") === "extracted", 1)).as("fetched"))
+      count(when(col("http_status") === 200, 1)).as("fetched"))
 
-    // ---- 6. state rewrites + commit ----
-    // frontier: fold fetch outcomes in (status transitions §1.4)
-    val out = results.toDF()
-      .select(col("norm_url").as("r_url"), col("status").as("r_status"),
-        col("http_status").as("r_http"), col("wave").as("r_wave"))
-    val frontierNext = gated
-      .join(out, col("norm_url") === col("r_url"), "left")
-      .withColumn("status", when(col("r_status").isNotNull,
-        when(col("r_status") === "extracted", lit("extracted"))
-          .when(col("r_status") === "404", lit("404"))
-          .when(col("r_status") === "403", lit("403"))
-          .otherwise(col("status"))) // 429/timeout/captcha stay retryable
-        .otherwise(col("status")))
-      .withColumn("http_status", when(col("r_http").isNotNull, col("r_http")).otherwise(col("http_status")))
-      .withColumn("processed_wave", when(col("r_status").isin("extracted", "404", "403"), col("r_wave"))
-        .otherwise(col("processed_wave")))
-      .withColumn("error_message", when(col("r_status").isNotNull && col("r_status") =!= "extracted",
-        col("r_status")).otherwise(col("error_message")))
-      .drop("r_url", "r_status", "r_http", "r_wave")
-    // robots metric rides the frontier-write action — no separate job
-    val robotsObs = org.apache.spark.sql.Observation()
-    val frontierToWrite = frontierNext.observe(robotsObs,
-      count(when(col("status") === "robots_blocked" &&
-        col("processed_wave") === -1 && col("discovered_wave") === wave, 1))
-        .as("robots_blocked"))
+    // ---- 7. delta state rewrites + commit ----
+    // frontier update rows: planned rows folded with fetch outcomes
+    // (§1.4 transitions); everything else in the frontier is untouched
+    // and stays by manifest reference.
+    val out = results.toDF().select(col("norm_url").as("r_url"),
+      col("status").as("r_status"), col("http_status").as("r_http"))
+    val updates = latestEligible
+      .join(broadcast(out), col("norm_url") === col("r_url"), "inner")
+      .withColumn("status",
+        when(col("r_status").isin("429", "timeout", "captcha"), col("status")) // stay retryable
+          .otherwise(col("r_status")))
+      .withColumn("http_status", col("r_http").cast("int"))
+      .withColumn("processed_wave",
+        when(col("r_status").isin(TerminalStatuses: _*), lit(wave))
+          .otherwise(col("processed_wave")))
+      .withColumn("error_message",
+        when(col("r_http") =!= 200, col("r_status")).otherwise(lit("")))
+      .withColumn("seq", lit(2L * wave + 1))
+      .withColumn("is_update", lit(true))
+      .drop("r_url", "r_status", "r_http")
+    val frontierDelta = discovered.unionByName(
+      updates.select(FrontierCols.map(col): _*))
 
-    // politeness: per-host outcome aggregation → pure kernel update
+    // politeness: per-host outcome aggregation → pure kernel update,
+    // crawl delay joined from the robots table (no driver map)
     val outcomes = results.groupByKey(_.host).mapGroups { (h, it) =>
       var ok, nf, fb, rl, to, cp = 0
       it.foreach { r =>
         r.status match {
-          case "extracted" => ok += 1
           case "404" => nf += 1
           case "403" => fb += 1
           case "429" => rl += 1
           case "timeout" => to += 1
           case "captcha" => cp += 1
-          case _ =>
+          case _ => ok += 1 // extracted | obituary | opinion | wire
         }
       }
       (h, ok, nf, fb, rl, to, cp)
     }.toDF("o_host", "ok", "nf", "fb", "rl", "to", "cp")
-    val cdB = spark.sparkContext.broadcast(crawlDelayByHost)
     val politenessNext = politeness.toDF()
-      .join(outcomes, col("host") === col("o_host"), "left")
-      .as[(String, Int, Int, Double, Int, Double, Int, Int,
-        Option[String], Option[Int], Option[Int], Option[Int], Option[Int], Option[Int], Option[Int])]
-      .map { case (host, sens, tok, cool, fails, paused, enc, forb,
-        oHost, ok, nf, fb, rl, to, cp) =>
-        val st = PolitenessState(host, sens, tok, cool, fails, paused, enc, forb)
-        if (oHost.isEmpty) st
+      .join(outcomes, col("host") === col("o_host"), "left").drop("o_host")
+      .join(robots.select(col("host").as("d_host"), col("crawl_delay_s")),
+        col("host") === col("d_host"), "left").drop("d_host")
+      .as[PolJoin]
+      .map { j =>
+        val st = PolitenessState(j.host, j.bot_sensitivity, j.tokens_per_wave,
+          j.cooldown_until_s, j.consecutive_failures, j.paused_until_s,
+          j.bot_encounters, j.forbidden_count)
+        if (j.ok.isEmpty && j.nf.isEmpty && j.fb.isEmpty && j.rl.isEmpty &&
+          j.to.isEmpty && j.cp.isEmpty) st
         else Politeness.update(st,
-          Politeness.HostOutcome(ok.getOrElse(0), nf.getOrElse(0), fb.getOrElse(0),
-            rl.getOrElse(0), to.getOrElse(0), cp.getOrElse(0)),
-          wave, waveSec, cdB.value.getOrElse(host, 0.0))
+          Politeness.HostOutcome(j.ok.getOrElse(0), j.nf.getOrElse(0),
+            j.fb.getOrElse(0), j.rl.getOrElse(0), j.to.getOrElse(0),
+            j.cp.getOrElse(0)),
+          wave, waveSec, j.crawl_delay_s.getOrElse(0.0))
       }
+
+    // source_state: set-based S11 rewrite — ledger (F13), pause counter
+    // (F12/C8), sections (M4), method telemetry; all per-source facts
+    // join-assembled, transition via the shared pure kernel
+    val dueFacts = due.map { d =>
+      val c = cfgB.value
+      val rssAttempted = !d.rss_skip
+      val rssFailed = rssAttempted && Synth.rssFails(d.host_idx, wave)
+      val rawRss =
+        if (!rssAttempted || rssFailed) 0L else Synth.rssYield(c)(d.host_idx).toLong
+      val shortCircuit = rawRss >= c.urlsPerHostPerWave / 2
+      val rawHomepage =
+        if (shortCircuit) 0L else Synth.homepageLinks(c)(d.host_idx, wave).size.toLong
+      val rawSection = d.sections.size.toLong * c.sectionLinksPerWave
+      DueFacts(d.source_id, rssAttempted, rssFailed, !shortCircuit,
+        rawRss, rawHomepage, rawSection)
+    }.toDF()
+    val newByMethod = gatedDelta.groupBy("source_id").agg(
+      count(when(col("method_rank") === 0, 1)).as("new_rss"),
+      count(when(col("method_rank") === 1, 1)).as("new_homepage"),
+      count(when(col("method_rank") === 2, 1)).as("new_section"))
+    val sectionsFound = gatedDelta
+      .withColumn("section", regexp_extract(col("norm_url"), "/sections/([a-z]+)$", 1))
+      .filter(col("section") =!= "")
+      .groupBy("source_id").agg(collect_set("section").as("sections_found"))
+    val perSource = dueFacts
+      .join(newByMethod, Seq("source_id"), "left")
+      .join(sectionsFound, Seq("source_id"), "left")
+      .cache()
+    val stateNext = state.toDF()
+      .join(sources.toDF().select(col("source_id"), col("frequency")), Seq("source_id"))
+      .join(perSource, Seq("source_id"), "left")
+      .as[StateJoin]
+      .map { j =>
+        val prev = SourceState(j.source_id, j.host, j.last_wave,
+          j.rss_consecutive_failures, j.rss_failure_waves, j.rss_missing_wave,
+          j.no_effective_consecutive, j.paused_auto, j.last_successful_method,
+          j.discovered_sections)
+        j.rss_attempted match {
+          case None => prev // not due this wave
+          case Some(att) =>
+            SourceRules.update(prev, j.frequency,
+              SourceRules.DiscoveryOutcome(att, j.rss_failed.getOrElse(false),
+                Map(0 -> j.new_rss.getOrElse(0L),
+                  1 -> j.new_homepage.getOrElse(0L),
+                  2 -> j.new_section.getOrElse(0L)),
+                j.sections_found.getOrElse(Seq.empty)),
+              wave)
+        }
+      }
+    val stateObs = org.apache.spark.sql.Observation()
+    val stateToWrite = stateNext.toDF().observe(stateObs,
+      count(when(array_contains(col("rss_failure_waves"), wave), 1)).as("rss_failures"),
+      count(when(col("paused_auto"), 1)).as("paused_sources"))
+
+    // per-(source, method) telemetry (A5 surface, telemetry.py:1777-1910)
+    val telemObs = org.apache.spark.sql.Observation()
+    val telemetry = perSource.as[PerSource].flatMap { o =>
+      Seq(
+        TelemetryRow(wave, o.source_id, "rss", o.rss_attempted,
+          o.raw_rss, o.new_rss.getOrElse(0L)),
+        TelemetryRow(wave, o.source_id, "homepage", o.homepage_ran,
+          o.raw_homepage, o.new_homepage.getOrElse(0L)),
+        TelemetryRow(wave, o.source_id, "section_crawl", o.raw_section > 0,
+          o.raw_section, o.new_section.getOrElse(0L)))
+    }.toDF().observe(telemObs,
+      sum(when(col("method") === "section_crawl", col("links_yielded"))
+        .otherwise(lit(0L))).as("section_links"))
 
     // the results write runs FIRST and alone: it materializes the whole
     // discovery→plan→fetch chain (and its caches), so every observation
-    // (disc/dedup/results) completes in exactly one action — observing
-    // on racing cache-splitting actions would shear the counters. The
-    // remaining four state writes only read caches / driver state and
-    // run as concurrent Spark jobs: serial section = results write +
-    // max(other writes), not a sum.
+    // completes in one action. The remaining writes only read caches and
+    // run as concurrent Spark jobs.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    // results is append-only: each wave writes only its delta
-    // (readAll() is the log view) — no O(history) rewrite per wave
-    val resultsPin = timed("write_results", wave) {
-      store.write(resultsToWrite, "results", wave, lineage = s"wave $wave delta")
+    timed("write_results", wave) {
+      store.appendDelta(resultsToWrite, "results", wave, lineage = s"wave $wave delta")
     }
-    val fResults = Future(resultsPin)
     val fFrontier = Future(timed("write_frontier", wave) {
-      store.write(frontierToWrite, "frontier", wave, lineage = s"wave $wave rewrite")
+      store.appendDelta(
+        frontierDelta.repartition(nb, col("host_bucket")),
+        "frontier", wave, bucketCol = Some("host_bucket"),
+        lineage = s"wave $wave delta (discovered + outcomes)")
     })
-    // host-cardinality tables: one file per snapshot, not one per task
-    val fPoliteness = Future(timed("write_politeness", wave) {
-      store.write(politenessNext.toDF().coalesce(1), "politeness", wave)
+    val fSeen = Future(timed("write_seen", wave) {
+      store.appendDelta(
+        discovered.select(col("host_bucket"), col("norm_url"))
+          .repartition(nb, col("host_bucket")),
+        "seen", wave, bucketCol = Some("host_bucket"),
+        lineage = s"wave $wave keys")
     })
     val fBloom = Future(timed("bloom_merge", wave) {
-      val bankNext = mergeBloomBank(bloomBank,
-        discovered.select("host_bucket", "norm_url").as[(Int, String)])
-      bankCache = Some(bankNext)
-      store.write(bankNext.toSeq.toDF("bucket", "bloom").coalesce(1), "seen_bloom", wave)
+      // bucket-co-partitioned merge in executors; only touched buckets
+      // get new files, the rest stay by manifest reference
+      val cap = bloomCapacityPerBucket
+      val fpp = SeenFpp
+      val newKeys = discovered.select(col("host_bucket"), col("norm_url"))
+        .as[(Int, String)]
+      val merged = newKeys.groupByKey(_._1)
+        .cogroup(blooms.groupByKey(_.bucket)) { (b, ks, olds) =>
+          val bf = olds.nextOption() match {
+            case Some(r) => BloomFilter.readFrom(new ByteArrayInputStream(r.bloom))
+            case None => BloomFilter.create(cap, fpp)
+          }
+          var n = 0
+          ks.foreach { k => bf.putString(k._2); n += 1 }
+          if (n == 0) Iterator.empty // untouched bucket — keep by reference
+          else {
+            val bos = new ByteArrayOutputStream()
+            bf.writeTo(bos)
+            Iterator.single(BloomRow(b, bos.toByteArray))
+          }
+        }
+      store.replaceBuckets(merged.toDF(), "seen_bloom", wave, "bucket",
+        lineage = s"wave $wave touched buckets")
     })
-    val fDiscState = Future {
-      val dueSet = dueIds(due)
-      val kept = store.read(spark, "discovery_state").as[(String, Int)]
-        .filter(r => !dueSet.contains(r._1)).toDF("source_id", "last_wave")
-      val fresh = due.map(s => (s.source_id, wave)).toDF("source_id", "last_wave")
-      store.write(kept.unionByName(fresh).coalesce(1), "discovery_state", wave)
-    }
-    val pins = Map(
-      "frontier" -> Await.result(fFrontier, Duration.Inf),
-      "results" -> Await.result(fResults, Duration.Inf),
-      "politeness" -> Await.result(fPoliteness, Duration.Inf),
-      "seen_bloom" -> Await.result(fBloom, Duration.Inf),
-      "discovery_state" -> Await.result(fDiscState, Duration.Inf))
+    val fPoliteness = Future(timed("write_politeness", wave) {
+      store.write(politenessNext.toDF().coalesce(hostFiles), "politeness", wave)
+    })
+    val fState = Future(timed("write_state", wave) {
+      store.write(stateToWrite.coalesce(hostFiles), "source_state", wave)
+    })
+    val fTelemetry = Future(timed("write_telemetry", wave) {
+      store.appendDelta(telemetry.coalesce(hostFiles), "telemetry", wave)
+    })
+    Seq(fFrontier, fSeen, fBloom, fPoliteness, fState, fTelemetry)
+      .foreach(Await.result(_, Duration.Inf))
 
     // all counters come from observations riding the write actions
     val discMetrics = discObs.get
-    val nOutOfScope = discMetrics("out_of_scope").asInstanceOf[Long]
-    val nFiltered = discMetrics("filtered").asInstanceOf[Long]
-    val nExpired = discMetrics("expired").asInstanceOf[Long]
     val nOk = discMetrics("ok").asInstanceOf[Long]
     val nDiscovered = dedupObs.get("n").asInstanceOf[Long]
-    val nDuplicates = nOk - nDiscovered // batch dups + already-seen
     val nPlanned = resultsObs.get("planned").asInstanceOf[Long]
     val nFetched = resultsObs.get("fetched").asInstanceOf[Long]
-    val nFailed = nPlanned - nFetched
-    val metrics = WaveMetrics(wave, nDiscovered, math.max(0, nDuplicates),
-      nOutOfScope, nFiltered, nExpired, nPlanned, nFetched, nFailed,
-      robotsObs.get("robots_blocked").asInstanceOf[Long])
-    store.commitWave(wave, pins, Map(
-      "discovered" -> metrics.discovered, "duplicates" -> metrics.duplicates,
-      "out_of_scope" -> metrics.out_of_scope, "filtered" -> metrics.filtered,
-      "expired" -> metrics.expired, "planned" -> metrics.planned,
-      "fetched" -> metrics.fetched, "failed" -> metrics.failed,
-      "robots_blocked" -> metrics.robots_blocked))
-    frontier.unpersist(); results.unpersist()
-    gated.unpersist(); discovered.unpersist()
+    val metrics = WaveMetrics(wave,
+      discovered = nDiscovered,
+      duplicates = math.max(0, nOk - nDiscovered),
+      out_of_scope = discMetrics("out_of_scope").asInstanceOf[Long],
+      filtered = discMetrics("filtered").asInstanceOf[Long],
+      expired = discMetrics("expired").asInstanceOf[Long],
+      planned = nPlanned,
+      fetched = nFetched,
+      failed = nPlanned - nFetched,
+      robots_blocked = dedupObs.get("robots_blocked").asInstanceOf[Long],
+      rss_failures = stateObs.get("rss_failures").asInstanceOf[Long],
+      section_links = telemObs.get("section_links").asInstanceOf[Long],
+      paused_sources = stateObs.get("paused_sources").asInstanceOf[Long])
+    store.commitWave(wave,
+      AllTables.map(t => t -> store.currentSnapshot(t).getOrElse(-1)).toMap,
+      Map(
+        "discovered" -> metrics.discovered, "duplicates" -> metrics.duplicates,
+        "out_of_scope" -> metrics.out_of_scope, "filtered" -> metrics.filtered,
+        "expired" -> metrics.expired, "planned" -> metrics.planned,
+        "fetched" -> metrics.fetched, "failed" -> metrics.failed,
+        "robots_blocked" -> metrics.robots_blocked,
+        "rss_failures" -> metrics.rss_failures,
+        "section_links" -> metrics.section_links,
+        "paused_sources" -> metrics.paused_sources))
+
+    // amortized maintenance: compact the delta log back to one row per
+    // URL so merge-on-read input stays bounded (Iceberg-style MoR
+    // compaction). Runs after the commit; a crash before the next
+    // commit rolls it back harmlessly.
+    if (cfg.compactEvery > 0 && (wave + 1) % cfg.compactEvery == 0 && wave + 1 < cfg.nWaves) {
+      timed("compact_frontier", wave) {
+        // compacted rows become snapshot rows (is_update=false): the
+        // plan pre-filter then excludes terminal rows from the merge
+        store.writeBucketed(
+          CrawlEngine.frontierCurrent(spark, store)
+            .withColumn("is_update", lit(false))
+            .repartition(nb, col("host_bucket")),
+          "frontier", wave, "host_bucket", lineage = s"compaction after wave $wave")
+      }
+    }
+
+    due.unpersist(); checked.unpersist(); gatedDelta.unpersist()
+    latestEligible.unpersist(); results.unpersist(); perSource.unpersist()
     metrics
   }
 
-  private def dueIds(due: Dataset[Source]): Set[String] =
-    due.map(_.source_id).collect().toSet
-
-  /** Run (or resume) the crawl to `nWaves`. Already-committed waves are
-    * skipped — the store's last commit is the checkpoint. */
+  /** Run (or resume) the crawl to `nWaves`. Crash recovery first rolls
+    * every table back to the last committed wave's pins (a crash
+    * mid-wave leaves some tables ahead of the commit), then continues. */
   def run(): Seq[WaveMetrics] = {
     init()
+    store.recoverToLastCommit(AllTables)
     val start = store.lastCommittedWave() + 1
     (start until cfg.nWaves).map(runWave)
   }
 
   // ------------------------------------------------------------- helpers
 
-  private def pathOf(c: org.apache.spark.sql.Column) =
-    regexp_replace(c, "^[a-z]+://[^/]*", "")
+  private def pathOf(c: Column) = regexp_replace(c, "^[a-z]+://[^/]*", "")
 
   private val publishDayUdf = {
     val c = cfg
@@ -389,67 +583,111 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       Synth.idOf(norm).map(id => Synth.publishDay(c)(id)).getOrElse(-1)
     }
   }
-
-  private def mightContainUdf(bank: org.apache.spark.broadcast.Broadcast[Map[Int, BloomFilter]]) =
-    udf { (bucket: Int, url: String) =>
-      bank.value.get(bucket).exists(_.mightContainString(url))
-    }
-
-  private def loadBloomBank(): Map[Int, Array[Byte]] =
-    store.read(spark, "seen_bloom").as[(Int, Array[Byte])].collect().toMap
-
-  private def mergeBloomBank(old: Map[Int, Array[Byte]],
-                             fresh: Dataset[(Int, String)]): Map[Int, Array[Byte]] = {
-    val cap = bloomCapacityPerBucket
-    val fpp = SeenFpp
-    val newFilters = fresh.groupByKey(_._1).mapGroups { (bucket, it) =>
-      val bf = BloomFilter.create(cap, fpp)
-      it.foreach { case (_, u) => bf.putString(u) }
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      (bucket, bos.toByteArray)
-    }.collect().toMap
-    (old.keySet ++ newFilters.keySet).map { b =>
-      (old.get(b), newFilters.get(b)) match {
-        case (Some(o), Some(n)) =>
-          val bo = BloomFilter.readFrom(new java.io.ByteArrayInputStream(o))
-          val bn = BloomFilter.readFrom(new java.io.ByteArrayInputStream(n))
-          bo.mergeInPlace(bn)
-          val bos = new java.io.ByteArrayOutputStream(); bo.writeTo(bos)
-          b -> bos.toByteArray
-        case (Some(o), None) => b -> o
-        case (None, Some(n)) => b -> n
-        case _ => b -> Array.empty[Byte]
-      }
-    }.toMap
-  }
-
 }
 
 object CrawlEngine {
-  /** RFC 9309 longest-match allow decision (pure; shared with oracle). */
-  def robotsAllows(rules: Map[String, Seq[(String, Boolean)]], host: String, path: String): Boolean =
-    rules.get(host) match {
-      case None => true
-      case Some(rs) => rs.find { case (p, _) => path.startsWith(p) }.map(_._2).getOrElse(true)
-    }
+
+  /** Robots rule row: rules pre-sorted (longest prefix first, allow
+    * winning equal-length ties) so longest-match = first array hit. */
+  final case class RulePrefix(prefix: String, allow: Boolean)
+  final case class RobotsHost(host: String, crawl_delay_s: Double, rules: Seq[RulePrefix])
+
+  final case class SeenKey(host_bucket: Int, norm_url: String)
+  final case class DueSource(source_id: String, host_norm: String, frequency: String,
+                             host_idx: Int, rss_skip: Boolean, sections: Seq[String])
+  final case class RawLink(source_id: String, src_host: String, url: String,
+                           discovered_by: String, method_rank: Int)
+  final case class CandRow(norm_url: String, method_rank: Int, url: String,
+                           source_id: String, src_host: String, host: String,
+                           pub_day: Int, discovered_by: String, host_bucket: Int)
+  final case class PlanCand(norm_url: String, host: String, host_bucket: Int,
+                            source_id: String, priority: Int, discovered_wave: Int,
+                            mix: Long, tokens: Int)
+  final case class Planned(norm_url: String, host: String, host_bucket: Int,
+                           source_id: String, rank: Int)
+  final case class DueFacts(source_id: String, rss_attempted: Boolean,
+                            rss_failed: Boolean, homepage_ran: Boolean,
+                            raw_rss: Long, raw_homepage: Long, raw_section: Long)
+  final case class PerSource(source_id: String, rss_attempted: Boolean,
+                             rss_failed: Boolean, homepage_ran: Boolean,
+                             raw_rss: Long, raw_homepage: Long, raw_section: Long,
+                             new_rss: Option[Long], new_homepage: Option[Long],
+                             new_section: Option[Long],
+                             sections_found: Option[Seq[String]])
+  final case class StateJoin(source_id: String, host: String, last_wave: Int,
+                             rss_consecutive_failures: Int, rss_failure_waves: Seq[Int],
+                             rss_missing_wave: Int, no_effective_consecutive: Int,
+                             paused_auto: Boolean, last_successful_method: String,
+                             discovered_sections: Seq[String], frequency: String,
+                             rss_attempted: Option[Boolean], rss_failed: Option[Boolean],
+                             homepage_ran: Option[Boolean],
+                             raw_rss: Option[Long], raw_homepage: Option[Long],
+                             raw_section: Option[Long],
+                             new_rss: Option[Long], new_homepage: Option[Long],
+                             new_section: Option[Long],
+                             sections_found: Option[Seq[String]])
+  final case class PolJoin(host: String, bot_sensitivity: Int, tokens_per_wave: Int,
+                           cooldown_until_s: Double, consecutive_failures: Int,
+                           paused_until_s: Double, bot_encounters: Int,
+                           forbidden_count: Int,
+                           ok: Option[Int], nf: Option[Int], fb: Option[Int],
+                           rl: Option[Int], to: Option[Int], cp: Option[Int],
+                           crawl_delay_s: Option[Double])
+
+  /** HTTP-200 post-fetch content types (X4) + hard failures — statuses
+    * that end a URL's frontier lifecycle (404 until the TTL elapses). */
+  val OkStatuses: Seq[String] = Seq("extracted", "obituary", "opinion", "wire")
+  val TerminalStatuses: Seq[String] = OkStatuses ++ Seq("404", "403")
+
+  val FrontierCols: Seq[String] = Seq("url", "norm_url", "host", "host_bucket",
+    "source_id", "status", "priority", "crawl_depth", "discovered_by",
+    "discovered_wave", "processed_wave", "http_status", "publish_day",
+    "content_hash", "error_message", "seq", "is_update")
+
+  /** Deterministic plan ordering: never-tried/priority first, then
+    * discovery wave, then the seeded 64-bit mix, then the URL as the
+    * total-order tiebreak (O1/O3/O6). */
+  type PlanKey = (Int, Int, Long, String)
+  def keyOf(c: PlanCand): PlanKey = (-c.priority, c.discovered_wave, c.mix, c.norm_url)
+  val planOrder: Ordering[PlanKey] = Ordering.Tuple4(
+    Ordering.Int, Ordering.Int, Ordering.Long, Ordering.String)
+
+  /** Merge-on-read: latest (max-seq) version of every URL in the log. */
+  def mergeLog(logDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    logDf.groupBy("norm_url")
+      .agg(max(struct((Seq("seq") ++ FrontierCols.filterNot(_ == "seq")).map(col): _*)).as("r"))
+      .select(FrontierCols.map(c => col(s"r.$c")): _*)
+  }
+
+  /** The frontier's current state (one row per URL) — queries/tests. */
+  def frontierCurrent(spark: SparkSession, store: SnapshotStore): DataFrame =
+    mergeLog(store.read(spark, "frontier"))
+
+  /** RFC 9309 longest-match allow decision over pre-sorted rules (pure;
+    * shared with the oracle — mirrors the HOF expression in the gate). */
+  def robotsAllows(rules: Seq[(String, Boolean)], path: String): Boolean =
+    rules.find { case (p, _) => path.startsWith(p) }.map(_._2).getOrElse(true)
 
   /** Deterministic fetch resolver — the synthetic server. Computes the
-    * ground-truth payload, applies the fault schedule, and verifies the
-    * decode round-trip (phash + PSNR fidelity invariant). Lives on the
-    * companion so the fetch closure ships no engine state. */
+    * ground-truth payload, applies the fault schedule (with F10
+    * transient-404 recovery), classifies content type (X4), and
+    * verifies the decode round-trip (phash + PSNR fidelity invariant).
+    * Lives on the companion so the fetch closure ships no engine
+    * state. */
   private[crawl] def resolve(c: Synth.Config, norm: String, host: String, bucket: Int,
                              srcId: String, wave: Int, rank: Int): FetchResult = {
     val id = Synth.idOf(norm).getOrElse(-1L)
     val hostIdx = srcId.stripPrefix("src-").toInt
-    val f = if (id < 0) Synth.NotFound else Synth.fault(c)(hostIdx, id)
+    val f = if (id < 0) Synth.NotFound else Synth.fault(c)(hostIdx, id, wave)
     f match {
       case Synth.Ok =>
         val img = Synth.imageFor(c)(id)
         val decoded = ImageKernels.decode(img.bytes)
         val hash = java.security.MessageDigest.getInstance("SHA-256")
           .digest(img.bytes).map("%02x".format(_)).mkString
-        FetchResult(norm, host, bucket, srcId, wave, rank, 200, "extracted",
+        FetchResult(norm, host, bucket, srcId, wave, rank, 200,
+          Synth.contentTypeOf(c)(id),
           img.image_id, img.bytes, decoded.getWidth, decoded.getHeight,
           img.fmt, img.caption, ImageKernels.phash64(decoded), hash)
       case other =>

@@ -1,140 +1,171 @@
 package graft.crawl
 
-import graft.core.UrlKernels
-import graft.model.PolitenessState
+import graft.core.{UrlKernels, functions => gf}
+import graft.model.{PolitenessState, SourceState}
 import graft.synth.Synth
 import scala.collection.mutable
 
 /** Single-threaded reference-rules oracle: the same wave semantics as
   * [[CrawlEngine]], executed with plain collections. It shares every
-  * kernel (UrlKernels, Politeness, Synth, the md5 mix key), so any
-  * engine/oracle divergence is a dataflow bug, not a rules drift.
-  * Used by the e2e suite to assert crawl-order + URL-seen + status
-  * equality under parallel execution (SURVEY.md §5 rebuild mapping). */
+  * pure kernel (UrlKernels, Politeness, SourceRules, Synth, the xxhash64
+  * mix key, robotsAllows), so any engine/oracle divergence is a dataflow
+  * bug, not a rules drift. Used by the e2e suite to assert crawl-order +
+  * URL-seen + status + discovery-state equality under parallel
+  * execution, and by Verify to dump hard expectations for the driver's
+  * DuckDB gate (SURVEY.md §5 rebuild mapping). */
 object CrawlOracle {
 
   final case class OracleFetch(wave: Int, host: String, rank: Int,
                                normUrl: String, status: String)
   final case class Outcome(
       seen: Set[String], // all norm_urls ever admitted to the frontier
-      statusCounts: Map[String, Long], // final frontier histogram
+      statusCounts: Map[String, Long], // final frontier histogram (merged view)
       fetches: Vector[OracleFetch],
-      waveMetrics: Vector[Map[String, Long]])
+      waveMetrics: Vector[Map[String, Long]],
+      sourceStates: Map[String, SourceState], // final discovery state
+      frontier: Vector[FrontRow]) // final merged frontier rows
 
-  private final case class Row(normUrl: String, host: String, sourceId: String,
-                               var status: String, priority: Int,
-                               discoveredWave: Int)
-
-  def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  final case class FrontRow(normUrl: String, host: String, sourceId: String,
+                            var status: String, priority: Int,
+                            discoveredWave: Int, var processedWave: Int,
+                            var httpStatus: Int, discoveredBy: String,
+                            publishDay: Int)
 
   def run(cfg: Synth.Config): Outcome = {
-    val frontier = mutable.LinkedHashMap.empty[String, Row]
+    val frontier = mutable.LinkedHashMap.empty[String, FrontRow]
     val politeness = mutable.Map.empty[String, PolitenessState]
-    val discState = mutable.Map.empty[String, Int]
+    val state = mutable.Map.empty[String, SourceState]
     val fetches = Vector.newBuilder[OracleFetch]
     val allMetrics = Vector.newBuilder[Map[String, Long]]
 
     // init (mirrors CrawlEngine.init)
-    val freqs = Seq("daily", "weekly", "bi-weekly", "monthly", "broadcast", null)
     val srcs = (0 until cfg.nHosts).map { idx =>
-      val h = Synth.hostName(idx)
-      (f"src-$idx%04d", h, freqs(idx % freqs.length), 1 + idx % 10,
-        if (idx % 19 == 18) "paused" else "active")
+      (f"src-$idx%04d", Synth.hostName(idx), Synth.frequencyOf(idx),
+        Synth.statusOf(idx), idx)
     }
-    val crawlDelay = (0 until cfg.nHosts)
-      .map(i => Synth.hostName(i) -> (i % 4) * 2.0).toMap
-    val robots: Map[String, Seq[(String, Boolean)]] = (0 until cfg.nHosts).map { idx =>
-      val h = Synth.hostName(idx)
-      val base = Seq(("/private/", false), ("/", true))
-      val rs = if (idx % 13 == 12) ("/stories/", false) +: base else base
-      h -> rs.sortBy { case (p, _) => -p.length }
-    }.toMap
-    srcs.foreach { case (_, h, _, sens, _) =>
-      politeness(h) = Politeness.initial(h, sens, crawlDelay(h), cfg.waveSeconds)
+    srcs.foreach { case (sid, h, _, _, idx) =>
+      politeness(h) = Politeness.initial(h, Synth.sensitivityOf(idx),
+        Synth.crawlDelayOf(idx), cfg.waveSeconds)
+      state(sid) = SourceRules.initial(sid, h)
     }
 
     for (wave <- 0 until cfg.nWaves) {
-      var discovered, duplicates, outOfScope, filtered, expired = 0L
-      // 1. discovery
-      val due = srcs.filter { case (sid, _, freq, _, status) =>
-        status == "active" && (discState.get(sid) match {
-          case None => true
-          case Some(last) => (wave - last).toDouble >= UrlKernels.parseFrequencyToDays(freq)
-        })
+      var duplicates, outOfScope, filtered, expired = 0L
+      var robotsBlocked, sectionLinks, rssFailures = 0L
+
+      // 1. due sources (F11 + F12 gates)
+      val due = srcs.filter { case (sid, _, freq, status, _) =>
+        SourceRules.due(state(sid), status, freq, wave)
       }
-      val batch = mutable.LinkedHashMap.empty[String, (String, Row)] // norm -> (rawUrl, row)
-      due.foreach { case (sid, hostNorm, _, _, _) =>
-        val hostIdx = sid.stripPrefix("src-").toInt
-        Synth.rawLinks(cfg)(hostIdx, wave).foreach { case (url, _) =>
-          val norm = UrlKernels.normalizeUrl(url)
-          val host = UrlKernels.canonicalHost(url)
-          val valid = UrlKernels.isValidUrl(url)
-          val inScope = host == hostNorm
-          val passesSkip = UrlKernels.passesSkipPatterns(url)
-          val pubDay = Synth.idOf(norm).map(Synth.publishDay(cfg)).getOrElse(-1)
-          val recent = pubDay == -1 || pubDay >= cfg.nowDay - cfg.recencyDays
-          if (!valid) ()
-          else if (!inScope) outOfScope += 1
-          else if (!passesSkip) filtered += 1
-          else if (!recent) expired += 1
-          else batch.get(norm) match {
-            case Some((prevUrl, _)) => // W2: keep min(url)
-              duplicates += 1
-              if (url < prevUrl) batch(norm) = (url, Row(norm, host, sid, "discovered", 1, wave))
-            case None =>
-              if (frontier.contains(norm)) duplicates += 1
-              else batch(norm) = (url, Row(norm, host, sid, "discovered", 1, wave))
+
+      // 2. discovery: per-source cascade, order-preserving union dedup
+      // (keep min (method_rank, url) per norm_url within the batch)
+      val batch = mutable.LinkedHashMap.empty[String, (Int, String, FrontRow)]
+      val outcomes = mutable.Map.empty[String, SourceRules.DiscoveryOutcome]
+      due.foreach { case (sid, hostNorm, freq, _, idx) =>
+        val st = state(sid)
+        val rssAttempted = !SourceRules.rssSkipped(st, freq, wave)
+        val rssRes = if (rssAttempted) Synth.rssLinks(cfg)(idx, wave) else Some(Seq.empty[(String, Int)])
+        val rssFailed = rssAttempted && rssRes.isEmpty
+        if (rssFailed) rssFailures += 1
+        val rssLinks = if (rssAttempted) rssRes.getOrElse(Seq.empty) else Seq.empty
+        val shortCircuit = rssLinks.size >= cfg.urlsPerHostPerWave / 2
+        val links = mutable.ArrayBuffer.empty[(String, Int, String)] // url, rank, lineage
+        rssLinks.foreach { case (u, s) => links += ((u, 0, s"rss[$hostNorm/w$wave#$s]")) }
+        if (!shortCircuit)
+          Synth.homepageLinks(cfg)(idx, wave).foreach { case (u, s) =>
+            links += ((u, 1, s"homepage[$hostNorm/w$wave#$s]"))
+          }
+        st.discovered_sections.foreach { sec =>
+          Synth.sectionLinks(cfg)(idx, wave, sec).foreach { case (u, k) =>
+            links += ((u, 2, s"section_crawl[$hostNorm/$sec/w$wave#$k]"))
+            sectionLinks += 1
           }
         }
+        val newByMethod = mutable.Map(0 -> 0L, 1 -> 0L, 2 -> 0L)
+        val sectionsFound = mutable.ArrayBuffer.empty[String]
+        links.foreach { case (url, rank, lineage) =>
+          val norm = UrlKernels.normalizeUrl(url)
+          val host = UrlKernels.canonicalHost(url)
+          val pubDay = Synth.idOf(norm).map(Synth.publishDay(cfg)).getOrElse(-1)
+          if (!UrlKernels.isValidUrl(url)) ()
+          else if (host != hostNorm) outOfScope += 1
+          else if (!UrlKernels.passesSkipPatterns(url)) filtered += 1
+          else if (pubDay != -1 && pubDay < cfg.nowDay - cfg.recencyDays) expired += 1
+          else batch.get(norm) match {
+            case Some((prevRank, prevUrl, _)) => // W2/U1: keep min(rank, url)
+              duplicates += 1
+              if (rank < prevRank || (rank == prevRank && url < prevUrl)) {
+                batch(norm) = (rank, url,
+                  FrontRow(norm, host, sid, "discovered", 1, wave, -1, 0, lineage, pubDay))
+              }
+            case None =>
+              if (frontier.contains(norm)) duplicates += 1
+              else batch(norm) = (rank, url,
+                FrontRow(norm, host, sid, "discovered", 1, wave, -1, 0, lineage, pubDay))
+          }
+        }
+        outcomes(sid) = SourceRules.DiscoveryOutcome(rssAttempted, rssFailed,
+          Map.empty, Seq.empty) // method news + sections filled below
+        // placeholder; replaced after batch admission below
       }
-      batch.values.foreach { case (_, row) => frontier(row.normUrl) = row }
-      discovered = batch.size.toLong
-      discState ++= due.map(d => d._1 -> wave)
 
-      // 2. verification
-      frontier.values.filter(_.status == "discovered").foreach { r =>
-        r.status =
-          if (r.normUrl.toLowerCase.contains("/wire/")) "wire"
-          else if (!UrlKernels.isLikelyArticleUrl(r.normUrl)) "not_article"
-          else if (UrlKernels.checkIsArticle(r.normUrl)) "article"
+      // admit batch; verification + robots gate on the new rows only
+      batch.foreach { case (norm, (rank, _, row)) =>
+        row.status =
+          if (norm.toLowerCase.contains("/wire/")) "wire"
+          else if (!UrlKernels.isLikelyArticleUrl(norm)) "not_article"
+          else if (UrlKernels.checkIsArticle(norm)) "article"
           else "not_article"
+        if (row.status == "article") {
+          val idx = row.sourceId.stripPrefix("src-").toInt
+          val path = graft.core.PyUrl.urlsplit(norm).path
+          if (!CrawlEngine.robotsAllows(Synth.robotsRulesOf(idx), path)) {
+            row.status = "robots_blocked"; robotsBlocked += 1
+          }
+        }
+        frontier(norm) = row
+        val _ = rank
+      }
+      val discovered = batch.size.toLong
+
+      // per-(source, method) new counts + sections found (M4)
+      val newByMethodPerSource = mutable.Map.empty[String, mutable.Map[Int, Long]]
+      val sectionsPerSource = mutable.Map.empty[String, mutable.Set[String]]
+      batch.foreach { case (norm, (rank, _, row)) =>
+        val m = newByMethodPerSource.getOrElseUpdate(row.sourceId,
+          mutable.Map(0 -> 0L, 1 -> 0L, 2 -> 0L))
+        m(rank) = m(rank) + 1
+        val sec = "/sections/([a-z]+)$".r.findFirstMatchIn(norm).map(_.group(1))
+        sec.foreach(s => sectionsPerSource.getOrElseUpdate(row.sourceId,
+          mutable.Set.empty) += s)
       }
 
-      // 3. robots gate
-      var robotsBlocked = 0L
-      frontier.values.filter(_.status == "article").foreach { r =>
-        val path = graft.core.PyUrl.urlsplit(r.normUrl).path
-        val allowed = robots.get(r.host)
-          .flatMap(_.find { case (p, _) => path.startsWith(p) }.map(_._2))
-          .getOrElse(true)
-        if (!allowed) { r.status = "robots_blocked"; robotsBlocked += 1 }
-      }
-
-      // 4. plan: per-host token ranking over available hosts
+      // 3. plan: eligible = article backlog + TTL-expired 404s (F10),
+      // per available host top-`tokens` by (-priority, wave, mix, url)
       val planned = frontier.values
-        .filter(r => r.status == "article" &&
+        .filter(r => (r.status == "article" ||
+          (r.status == "404" && wave - r.processedWave >= cfg.deadUrlTtlWaves)) &&
           politeness.get(r.host).exists(Politeness.available(_, wave, cfg.waveSeconds)))
         .toSeq
         .groupBy(_.host)
         .flatMap { case (host, rows) =>
           val tokens = politeness(host).tokens_per_wave
           rows.sortBy(r => (-r.priority, r.discoveredWave,
-              md5Hex(s"${cfg.seed + wave}|${r.normUrl}")))
+              gf.mixKey64(cfg.seed + wave, r.normUrl), r.normUrl))
             .take(tokens).zipWithIndex
             .map { case (r, i) => (r, i + 1) }
         }
 
-      // 5. fetch + 6. state updates
-      val outcomes = mutable.Map.empty[String, Array[Int]] // ok nf fb rl to cp
-      var fetched, failed = 0L
+      // 4. fetch (fault schedule + X4 content typing) + state updates
+      val hostOutcomes = mutable.Map.empty[String, Array[Int]] // ok nf fb rl to cp
+      var fetched = 0L
       planned.toSeq.sortBy { case (r, rank) => (r.host, rank) }.foreach { case (r, rank) =>
         val id = Synth.idOf(r.normUrl).getOrElse(-1L)
         val hostIdx = r.sourceId.stripPrefix("src-").toInt
-        val f = if (id < 0) Synth.NotFound else Synth.fault(cfg)(hostIdx, id)
+        val f = if (id < 0) Synth.NotFound else Synth.fault(cfg)(hostIdx, id, wave)
         val status = f match {
-          case Synth.Ok => "extracted"
+          case Synth.Ok => Synth.contentTypeOf(cfg)(id)
           case Synth.NotFound => "404"
           case Synth.Forbidden => "403"
           case Synth.RateLimited => "429"
@@ -142,28 +173,44 @@ object CrawlOracle {
           case Synth.Captcha => "captcha"
         }
         fetches += OracleFetch(wave, r.host, rank, r.normUrl, status)
-        if (status == "extracted") fetched += 1 else failed += 1
-        val o = outcomes.getOrElseUpdate(r.host, Array.fill(6)(0))
+        val o = hostOutcomes.getOrElseUpdate(r.host, Array.fill(6)(0))
         status match {
-          case "extracted" => o(0) += 1; r.status = "extracted"
-          case "404" => o(1) += 1; r.status = "404"
-          case "403" => o(2) += 1; r.status = "403"
-          case "429" => o(3) += 1
-          case "timeout" => o(4) += 1
-          case "captcha" => o(5) += 1
+          case "404" => o(1) += 1; r.status = "404"; r.processedWave = wave; r.httpStatus = 404
+          case "403" => o(2) += 1; r.status = "403"; r.processedWave = wave; r.httpStatus = 403
+          case "429" => o(3) += 1; r.httpStatus = 429
+          case "timeout" => o(4) += 1; r.httpStatus = 0
+          case "captcha" => o(5) += 1; r.httpStatus = 403
+          case ok => // extracted | obituary | opinion | wire
+            o(0) += 1; fetched += 1
+            r.status = ok; r.processedWave = wave; r.httpStatus = 200
         }
       }
-      outcomes.foreach { case (host, o) =>
+      hostOutcomes.foreach { case (host, o) =>
+        val hostIdx = host.stripPrefix("host-").takeWhile(_.isDigit).toInt
         politeness(host) = Politeness.update(politeness(host),
           Politeness.HostOutcome(o(0), o(1), o(2), o(3), o(4), o(5)),
-          wave, cfg.waveSeconds, crawlDelay(host))
+          wave, cfg.waveSeconds, Synth.crawlDelayOf(hostIdx))
       }
+
+      // 5. source-state transitions (F12/F13/M4 via the shared kernel)
+      due.foreach { case (sid, _, freq, _, _) =>
+        val base = outcomes(sid)
+        val o = base.copy(
+          newByMethod = newByMethodPerSource.get(sid)
+            .map(_.toMap).getOrElse(Map(0 -> 0L, 1 -> 0L, 2 -> 0L)),
+          sectionsFound = sectionsPerSource.get(sid)
+            .map(_.toSeq.sorted).getOrElse(Seq.empty))
+        state(sid) = SourceRules.update(state(sid), freq, o, wave)
+      }
+      val pausedSources = state.values.count(_.paused_auto).toLong
+
       allMetrics += Map(
         "discovered" -> discovered, "duplicates" -> duplicates,
         "out_of_scope" -> outOfScope, "filtered" -> filtered,
         "expired" -> expired, "planned" -> planned.size.toLong,
-        "fetched" -> fetched, "failed" -> failed,
-        "robots_blocked" -> robotsBlocked)
+        "fetched" -> fetched, "failed" -> (planned.size.toLong - fetched),
+        "robots_blocked" -> robotsBlocked, "rss_failures" -> rssFailures,
+        "section_links" -> sectionLinks, "paused_sources" -> pausedSources)
     }
 
     Outcome(
@@ -171,6 +218,8 @@ object CrawlOracle {
       statusCounts = frontier.values.groupBy(_.status)
         .map { case (s, rs) => s -> rs.size.toLong },
       fetches = fetches.result(),
-      waveMetrics = allMetrics.result())
+      waveMetrics = allMetrics.result(),
+      sourceStates = state.toMap,
+      frontier = frontier.values.toVector)
   }
 }

@@ -70,6 +70,7 @@ object Politeness {
     if (out.forbidden > 0) sens = math.min(10, sens + 2)
     if (out.captcha > 0) sens = math.min(10, sens + 3)
     if (out.rateLimited > 0 && sens < 8) sens += 1 // +1 cap 8, never downgrades
+    if (out.timeout > 0 && sens < 7) sens += 1 // connection_timeout +1 cap 7
     sens = clampSensitivity(sens)
     // cooldown: exponential backoff with seeded jitter (C9)
     val cooldown =

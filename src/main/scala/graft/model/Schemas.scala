@@ -19,7 +19,14 @@ case class Source(
 
 /** Frontier row (reference: candidate_links,
   * src/models/__init__.py:67-125). `norm_url` is the dedup key
-  * (unique); `host_bucket` the partition key. */
+  * (unique in the merged view); `host_bucket` the partition key.
+  *
+  * The frontier is stored as an Iceberg-style merge-on-read DELTA LOG:
+  * each wave appends its discovered rows (`is_update = false`,
+  * `seq = 2·wave`) and the fetch-outcome update rows
+  * (`is_update = true`, `seq = 2·wave+1`); the current state of a URL
+  * is its max-`seq` row. Periodic compaction rewrites the log to one
+  * row per URL. Per-wave write I/O is O(delta), never O(frontier). */
 case class FrontierRow(
     url: String,
     norm_url: String,
@@ -29,13 +36,47 @@ case class FrontierRow(
     status: String, // §1.4 state machine
     priority: Int,
     crawl_depth: Int,
-    discovered_by: String, // lineage label (M5)
+    discovered_by: String, // lineage label (M5): method[host/wave#slot]
     discovered_wave: Int,
     processed_wave: Int, // -1 until fetched/terminal
     http_status: Int, // 0 until fetched
     publish_day: Int, // synthetic publish date as day ordinal; -1 = null
     content_hash: String, // sha-256 of payload; "" until fetched
-    error_message: String)
+    error_message: String,
+    seq: Long, // version for merge-on-read (2·wave / 2·wave+1)
+    is_update: Boolean) // false = discovery row, true = outcome update
+
+/** Per-source discovery state (reference: typed columns on sources —
+  * rss_consecutive_failures / rss_transient_failures / rss_missing_at /
+  * no_effective_methods_consecutive / paused_* / last_successful_method /
+  * discovered_sections, src/models/__init__.py:533-593). Rewritten
+  * set-based each wave (S11). Logical time: 1 wave ≙ 1 day. */
+case class SourceState(
+    source_id: String,
+    host: String,
+    last_wave: Int, // -1 = never processed (F11 due predicate)
+    rss_consecutive_failures: Int, // F13 streak rule
+    rss_failure_waves: Seq[Int], // F13 sliding-window ledger (pruned)
+    rss_missing_wave: Int, // -1 = feed healthy; else wave it was declared missing
+    no_effective_consecutive: Int, // F12 counter
+    paused_auto: Boolean, // F12 adaptive-threshold auto-pause
+    last_successful_method: String, // "" until a method yields new URLs
+    discovered_sections: Seq[String]) // M4 inference output, drives S13
+
+/** Per-(wave, source, method) discovery telemetry row (reference:
+  * telemetry.py:1777-1910 method-effectiveness tables). */
+case class TelemetryRow(
+    wave: Int,
+    source_id: String,
+    method: String, // rss | homepage | section_crawl
+    attempted: Boolean,
+    links_yielded: Long, // raw links the method produced
+    new_urls: Long) // survived filters + dedup + seen check
+
+/** One host-hash bucket of the URL-seen Bloom bank (X5). Lives as a
+  * bucket-keyed TABLE; membership checks and merges run bucket-
+  * co-partitioned in executors — the driver never holds the bank. */
+case class BloomRow(bucket: Int, bloom: Array[Byte])
 
 /** Fetched payload row — the graft's image+caption analogue of
   * `articles` (BASELINE.json input_hint). */
@@ -97,6 +138,9 @@ case class WaveMetrics(
     filtered: Long,
     expired: Long,
     planned: Long,
-    fetched: Long,
+    fetched: Long, // HTTP-200 fetches (any content type)
     failed: Long,
-    robots_blocked: Long)
+    robots_blocked: Long,
+    rss_failures: Long, // F13 ledger events this wave
+    section_links: Long, // raw links from the supplemental section crawl
+    paused_sources: Long) // cumulative F12 auto-paused sources

@@ -43,15 +43,17 @@ object CrawlQueries {
         "fmt", "w", "h", "caption", "phash", "content_hash")
       .orderBy("wave", "host", "rank")
 
-  /** Frontier status histogram (A2 over the real state machine). */
+  /** Frontier status histogram (A2 over the real state machine) —
+    * merge-on-read current view over the delta log. */
   val qCrawlStatusCounts: Q = (s, dir) =>
-    storeFor(s, dir).read(s, "frontier")
+    CrawlEngine.frontierCurrent(s, storeFor(s, dir))
       .groupBy("status").agg(count(lit(1)).as("n"))
       .orderBy("status")
 
-  /** URL-seen set cardinality per host bucket (J6/X5 surface). */
+  /** URL-seen set cardinality per host bucket (J6/X5 surface) — the
+    * dedicated bucket-partitioned seen key table. */
   val qCrawlSeenByBucket: Q = (s, dir) =>
-    storeFor(s, dir).read(s, "frontier")
+    storeFor(s, dir).read(s, "seen")
       .groupBy("host_bucket").agg(count(lit(1)).as("n_seen"))
       .orderBy("host_bucket")
 

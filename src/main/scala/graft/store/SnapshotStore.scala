@@ -2,26 +2,45 @@ package graft.store
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Iceberg-style snapshot table layer over parquet (no Iceberg runtime
-  * in this sandbox — SURVEY.md §7). Layout:
+  * in this sandbox — SURVEY.md §7). Each snapshot is a MANIFEST of data
+  * files grouped by bucket, not a physical rewrite:
   *
-  *   root/<table>/snap-%05d/part-*.parquet
-  *   root/<table>/manifest.json      (atomic-rename commit)
-  *   root/_commits/wave-%05d.json    (cross-table wave manifest)
+  *   root/<table>/snap-%05d/[__pb=<bucket>/]part-*.parquet  (immutable)
+  *   root/<table>/manifest.json   (atomic-rename commit point)
+  *   root/<table>/_schema.json    (DDL for empty/explicit-file reads)
+  *   root/_commits/wave-%05d.json (cross-table wave manifest)
   *
-  * The manifest carries per-snapshot row counts and lineage notes, so a
-  * resumed run can locate the last fully-committed wave and time-travel
-  * reads are just snapshot-id pins. Atomic rename after temp-write is
-  * the same commit protocol the reference uses for artifacts
-  * (src/pipeline/io_utils.py:72-185). At cluster scale the rename
-  * target is an object-store manifest swap; the table data itself is
-  * immutable append, exactly like Iceberg snapshots. */
+  * Delta commits: [[appendDelta]] writes only the wave's new rows and
+  * the new manifest references the previous snapshot's files for
+  * untouched buckets — per-wave I/O is O(delta), not O(table).
+  * [[replaceBuckets]] swaps only touched buckets (bloom bank, per-bucket
+  * compaction). Reads assemble the current file list and read with the
+  * pinned schema + `recursiveFileLookup` (partition-dir inference off),
+  * so [[readBuckets]] prunes to exactly the requested buckets' files —
+  * the assertable analogue of Iceberg partition pruning. Atomic rename
+  * after temp-write is the same commit protocol the reference uses for
+  * artifacts (src/pipeline/io_utils.py:72-185); at cluster scale the
+  * rename is an object-store manifest swap, and the data files are
+  * immutable appends, exactly like Iceberg snapshots. */
 final class SnapshotStore(val root: String) {
+
+  /** bucket → data files (table-relative paths); -1 = unbucketed. */
+  type FileMap = Map[Int, Seq[String]]
+
+  private final case class Snap(id: Int, wave: Int, lineage: String, files: FileMap)
+  private final case class Manifest(current: Int, snaps: Seq[Snap])
 
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def manifestPath(table: String): Path = tableDir(table).resolve("manifest.json")
+  private def schemaPath(table: String): Path = tableDir(table).resolve("_schema.json")
 
   private def atomicWrite(path: Path, content: String): Unit = {
     Files.createDirectories(path.getParent)
@@ -31,78 +50,196 @@ final class SnapshotStore(val root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Write `df` as the next snapshot of `table`; returns snapshot id.
-    * The data lands under snap-<id>/ first; the manifest rename is the
-    * commit point. */
-  def write(df: DataFrame, table: String, wave: Int, rows: Long = -1L,
-            lineage: String = ""): Int = {
-    val next = currentSnapshot(table).map(_ + 1).getOrElse(0)
+  // ---------------------------------------------------------- manifest io
+
+  private def renderManifest(m: Manifest): String = {
+    val snaps = JArray(m.snaps.map { s =>
+      JObject(
+        "id" -> JInt(s.id), "wave" -> JInt(s.wave),
+        "lineage" -> JString(s.lineage),
+        "files" -> JObject(s.files.toList.sortBy(_._1).map { case (b, fs) =>
+          b.toString -> JArray(fs.map(JString(_)).toList)
+        }))
+    }.toList)
+    JsonMethods.compact(JsonMethods.render(
+      JObject("current" -> JInt(m.current), "snapshots" -> snaps)))
+  }
+
+  private def parseManifest(table: String): Option[Manifest] = {
+    val p = manifestPath(table)
+    if (!Files.exists(p)) return None
+    val j = JsonMethods.parse(Files.readString(p))
+    val cur = (j \ "current") match { case JInt(n) => n.toInt; case _ => -1 }
+    val snaps = (j \ "snapshots") match {
+      case JArray(xs) => xs.map { s =>
+        val id = (s \ "id") match { case JInt(n) => n.toInt; case _ => -1 }
+        val wave = (s \ "wave") match { case JInt(n) => n.toInt; case _ => -1 }
+        val lin = (s \ "lineage") match { case JString(v) => v; case _ => "" }
+        val files: FileMap = (s \ "files") match {
+          case JObject(fields) => fields.map { case (b, v) =>
+            b.toInt -> (v match {
+              case JArray(fs) => fs.collect { case JString(f) => f }
+              case _ => Seq.empty[String]
+            })
+          }.toMap
+          case _ => Map.empty
+        }
+        Snap(id, wave, lin, files)
+      }
+      case _ => Seq.empty
+    }
+    Some(Manifest(cur, snaps))
+  }
+
+  private def commitManifest(table: String, m: Manifest): Unit =
+    atomicWrite(manifestPath(table), renderManifest(m))
+
+  private def snapOf(table: String, id: Int): Snap =
+    parseManifest(table).flatMap(_.snaps.find(_.id == id))
+      .getOrElse(sys.error(s"no snapshot $id for table $table"))
+
+  // ------------------------------------------------------------- writes
+
+  /** List the parquet files a physical write produced, grouped by
+    * `__pb=<bucket>` subdir (or -1 when unbucketed), as table-relative
+    * paths. */
+  private def listWritten(table: String, snapDir: Path): FileMap = {
+    if (!Files.exists(snapDir)) return Map.empty
+    val td = tableDir(table)
+    Using.resource(Files.walk(snapDir)) { stream =>
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+        .groupBy { p =>
+          val rel = snapDir.relativize(p).toString
+          if (rel.startsWith("__pb=")) rel.substring(5, rel.indexOf('/')).toInt else -1
+        }
+        .map { case (b, ps) => b -> ps.map(p => td.relativize(p).toString).sorted }
+    }
+  }
+
+  private def physicalWrite(df: DataFrame, table: String, next: Int,
+                            bucketCol: Option[String]): FileMap = {
     val dir = tableDir(table).resolve(f"snap-$next%05d")
-    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
-    val n = if (rows >= 0) rows else -1L
-    val prior = manifestJsonEntries(table)
-    val entry =
-      s"""{"id":$next,"wave":$wave,"rows":$n,"lineage":"${escape(lineage)}"}"""
-    atomicWrite(manifestPath(table),
-      s"""{"current":$next,"snapshots":[${(prior :+ entry).mkString(",")}]}""")
+    bucketCol match {
+      case Some(c) =>
+        // duplicate the bucket column into the partition dir so the data
+        // files keep it (explicit-file reads see no partition dirs)
+        df.withColumn("__pb", col(c))
+          .write.mode(SaveMode.Overwrite).partitionBy("__pb")
+          .parquet(dir.toString)
+      case None =>
+        df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    }
+    if (!Files.exists(schemaPath(table)))
+      atomicWrite(schemaPath(table), df.schema.json)
+    listWritten(table, dir)
+  }
+
+  private def appendSnap(table: String, wave: Int, lineage: String,
+                         mkFiles: (Int, FileMap) => FileMap,
+                         df: DataFrame, bucketCol: Option[String]): Int = {
+    val m = parseManifest(table).getOrElse(Manifest(-1, Seq.empty))
+    val next = m.snaps.map(_.id).foldLeft(-1)(math.max) + 1
+    val written = physicalWrite(df, table, next, bucketCol)
+    val prior: FileMap =
+      if (m.current < 0) Map.empty else snapOf(table, m.current).files
+    val files = mkFiles(next, prior) match {
+      case f => f ++ written.map { case (b, fs) => b -> (f.getOrElse(b, Seq.empty) ++ fs) }
+    }
+    commitManifest(table, Manifest(next, m.snaps :+ Snap(next, wave, lineage, files)))
     next
   }
 
-  private def escape(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+  /** Full snapshot: the new manifest references only this write's files
+    * (whole-table rewrite — host-cardinality state tables, compaction). */
+  def write(df: DataFrame, table: String, wave: Int, rows: Long = -1L,
+            lineage: String = ""): Int =
+    appendSnap(table, wave, lineage, (_, _) => Map.empty, df, None)
 
-  private def manifestJsonEntries(table: String): Seq[String] = {
-    val p = manifestPath(table)
-    if (!Files.exists(p)) Seq.empty
+  /** Full bucketed snapshot (initial load / log compaction). */
+  def writeBucketed(df: DataFrame, table: String, wave: Int,
+                    bucketCol: String, lineage: String = ""): Int =
+    appendSnap(table, wave, lineage, (_, _) => Map.empty, df, Some(bucketCol))
+
+  /** Delta commit: append this write's files to the previous snapshot's
+    * per-bucket lists; untouched buckets are carried by reference. */
+  def appendDelta(df: DataFrame, table: String, wave: Int,
+                  bucketCol: Option[String] = None, lineage: String = ""): Int =
+    appendSnap(table, wave, lineage, (_, prior) => prior, df, bucketCol)
+
+  /** Replace exactly the buckets present in `df`; all other buckets are
+    * carried by reference from the previous snapshot (bloom bank update,
+    * selective compaction). */
+  def replaceBuckets(df: DataFrame, table: String, wave: Int,
+                     bucketCol: String, lineage: String = ""): Int = {
+    val m = parseManifest(table).getOrElse(Manifest(-1, Seq.empty))
+    val next = m.snaps.map(_.id).foldLeft(-1)(math.max) + 1
+    val written = physicalWrite(df, table, next, Some(bucketCol))
+    val prior: FileMap =
+      if (m.current < 0) Map.empty else snapOf(table, m.current).files
+    val files = (prior -- written.keySet) ++ written
+    commitManifest(table, Manifest(next, m.snaps :+ Snap(next, wave, lineage, files)))
+    next
+  }
+
+  // -------------------------------------------------------------- reads
+
+  def tableSchema(table: String): StructType =
+    DataType.fromJson(Files.readString(schemaPath(table))).asInstanceOf[StructType]
+
+  private def readFiles(spark: SparkSession, table: String, files: Seq[String]): DataFrame = {
+    val schema = tableSchema(table)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val txt = Files.readString(p)
-      val arr = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']')).trim
-      if (arr.isEmpty) Seq.empty
-      else splitTopLevel(arr)
+      val td = tableDir(table)
+      spark.read.schema(schema)
+        .option("recursiveFileLookup", "true") // no partition-dir inference
+        .parquet(files.map(f => td.resolve(f).toString): _*)
     }
   }
 
-  private def splitTopLevel(arr: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var start = 0
-    arr.zipWithIndex.foreach { case (c, i) =>
-      c match {
-        case '{' => depth += 1
-        case '}' => depth -= 1
-          if (depth == 0) { out += arr.substring(start, i + 1).trim }
-        case ',' if depth == 0 => start = i + 1
-        case _ =>
-      }
-    }
-    out.toSeq
-  }
+  def currentSnapshot(table: String): Option[Int] =
+    parseManifest(table).map(_.current).filter(_ >= 0)
 
-  def currentSnapshot(table: String): Option[Int] = {
-    val p = manifestPath(table)
-    if (!Files.exists(p)) None
-    else {
-      val txt = Files.readString(p)
-      val m = """"current":(-?\d+)""".r.findFirstMatchIn(txt)
-      m.map(_.group(1).toInt).filter(_ >= 0)
+  /** All data files of the current snapshot, grouped by bucket
+    * (absolute paths — PlanSpec pruning assertions read this). */
+  def currentFiles(table: String): Map[Int, Seq[String]] = {
+    val cur = currentSnapshot(table).getOrElse(sys.error(s"no snapshot for $table"))
+    val td = tableDir(table)
+    snapOf(table, cur).files.map { case (b, fs) =>
+      b -> fs.map(f => td.resolve(f).toString)
     }
   }
 
   def read(spark: SparkSession, table: String): DataFrame =
-    readSnapshot(spark, table, currentSnapshot(table).getOrElse(
-      sys.error(s"no snapshot for table $table")))
+    readSnapshot(spark, table,
+      currentSnapshot(table).getOrElse(sys.error(s"no snapshot for table $table")))
 
-  /** Time-travel read of a pinned snapshot id. */
+  /** Time-travel read of a pinned snapshot id (its full file manifest). */
   def readSnapshot(spark: SparkSession, table: String, id: Int): DataFrame =
-    spark.read.parquet(tableDir(table).resolve(f"snap-$id%05d").toString)
+    readFiles(spark, table, snapOf(table, id).files.values.flatten.toSeq)
 
-  /** Read the union of all snapshots ≤ current — the append-only view
-    * for log-style tables (results, metrics), where each wave writes
-    * only its delta instead of rewriting history. */
-  def readAll(spark: SparkSession, table: String): DataFrame = {
-    val cur = currentSnapshot(table).getOrElse(sys.error(s"no snapshot for $table"))
-    val dirs = (0 to cur).map(i => tableDir(table).resolve(f"snap-$i%05d").toString)
-    spark.read.parquet(dirs: _*)
+  /** Data files of a pinned snapshot, grouped by bucket (absolute
+    * paths) — delta-size assertions diff consecutive pins. */
+  def snapshotFiles(table: String, id: Int): Map[Int, Seq[String]] = {
+    val td = tableDir(table)
+    snapOf(table, id).files.map { case (b, fs) =>
+      b -> fs.map(f => td.resolve(f).toString)
+    }
   }
+
+  /** Bucket-pruned read: only the files of the requested buckets. */
+  def readBuckets(spark: SparkSession, table: String, buckets: Seq[Int]): DataFrame = {
+    val cur = currentSnapshot(table).getOrElse(sys.error(s"no snapshot for $table"))
+    val files = snapOf(table, cur).files
+    readFiles(spark, table, buckets.distinct.flatMap(b => files.getOrElse(b, Seq.empty)))
+  }
+
+  /** Log view — with manifest-carried deltas the current snapshot IS the
+    * full log for append-only tables; kept for call-site clarity. */
+  def readAll(spark: SparkSession, table: String): DataFrame = read(spark, table)
 
   def exists(table: String): Boolean = currentSnapshot(table).isDefined
 
@@ -114,26 +251,63 @@ final class SnapshotStore(val root: String) {
   /** Atomically record that `wave` committed with the given table →
     * snapshot-id pins plus metric counters. */
   def commitWave(wave: Int, pins: Map[String, Int], metrics: Map[String, Long]): Unit = {
-    val p = pins.map { case (t, i) => s""""${escape(t)}":$i""" }.mkString(",")
-    val m = metrics.map { case (k, v) => s""""${escape(k)}":$v""" }.mkString(",")
-    atomicWrite(commitPath(wave), s"""{"wave":$wave,"pins":{$p},"metrics":{$m}}""")
+    val j = JObject(
+      "wave" -> JInt(wave),
+      "pins" -> JObject(pins.toList.sortBy(_._1).map { case (t, i) => t -> JInt(i) }),
+      "metrics" -> JObject(metrics.toList.sortBy(_._1).map { case (k, v) => k -> JLong(v) }))
+    atomicWrite(commitPath(wave), JsonMethods.compact(JsonMethods.render(j)))
   }
 
   /** Highest wave with a complete commit manifest, or -1. */
   def lastCommittedWave(): Int = {
     if (!Files.exists(commitsDir)) return -1
-    Files.list(commitsDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("wave-") && s.endsWith(".json") =>
-        s.stripPrefix("wave-").stripSuffix(".json").toInt }
-      .foldLeft(-1)(math.max)
+    Using.resource(Files.list(commitsDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("wave-") && s.endsWith(".json") =>
+          s.stripPrefix("wave-").stripSuffix(".json").toInt }
+        .foldLeft(-1)(math.max)
+    }
   }
 
   /** Snapshot pins recorded at a wave commit. */
   def wavePins(wave: Int): Map[String, Int] = {
-    val txt = Files.readString(commitPath(wave))
-    """"([a-z_]+)":(\d+)""".r.findAllMatchIn(
-      txt.substring(txt.indexOf("\"pins\""), txt.indexOf("\"metrics\"")))
-      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    val j = JsonMethods.parse(Files.readString(commitPath(wave)))
+    (j \ "pins") match {
+      case JObject(fields) => fields.collect { case (t, JInt(i)) => t -> i.toInt }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Crash recovery: truncate `table`'s manifest to snapshot `id`,
+    * discarding (and physically deleting) any snapshots written after it
+    * — an interrupted wave leaves tables ahead of the last commit; the
+    * next run rolls each back to its pinned id before resuming. */
+  def rollbackTo(table: String, id: Int): Unit = {
+    val m = parseManifest(table).getOrElse(return)
+    if (m.current == id && m.snaps.forall(_.id <= id)) return
+    val (keep, drop) = m.snaps.partition(_.id <= id)
+    require(keep.exists(_.id == id), s"cannot roll $table back to unknown snapshot $id")
+    commitManifest(table, Manifest(id, keep))
+    drop.foreach { s =>
+      val dir = tableDir(table).resolve(f"snap-${s.id}%05d")
+      if (Files.exists(dir)) {
+        Using.resource(Files.walk(dir)) { stream =>
+          stream.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
+  /** Roll every pinned table back to the last committed wave's pins.
+    * Returns that wave (or -1 when nothing was ever committed). */
+  def recoverToLastCommit(tables: Seq[String]): Int = {
+    val w = lastCommittedWave()
+    if (w < 0) return -1
+    val pins = wavePins(w)
+    tables.foreach { t =>
+      pins.get(t).foreach(id => rollbackTo(t, id))
+    }
+    w
   }
 }

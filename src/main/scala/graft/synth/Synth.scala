@@ -12,10 +12,23 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * two parallelism levels) see the identical world.
   *
   * Reference branch coverage (SURVEY.md §2 / FIXTURES.md §4):
-  * dup variants (?utm / #frag / trailing slash) collapsing under
-  * normalize_url; cross-host out-of-scope links; skip-pattern and
-  * regex-non-article paths; expired and null publish dates; 404/403/
-  * 429/timeout/captcha faults (extraction.py:1287-1450 branches).
+  *  - dup variants (?utm / #frag / trailing slash) collapsing under
+  *    normalize_url; cross-host out-of-scope links; skip-pattern and
+  *    regex-non-article paths; expired and null publish dates; 404/403/
+  *    429/timeout/captcha faults (extraction.py:1287-1450 branches);
+  *  - multi-method discovery cascade with the ≥max/2 RSS short-circuit
+  *    (source_processing.py:624-677): hosts with low-yield RSS cascade
+  *    to the homepage method; hosts with failing RSS exercise the F13
+  *    transient-failure ledger (discovery.py:1158-1515);
+  *  - section pages (/sections/<name>) surfaced by the homepage method
+  *    feed M4 section inference; the supplemental section crawl (S13,
+  *    discovery.py:647-997) then expands /<section>/p-<id> articles;
+  *  - transient 404s that recover after the dead-URL TTL (F10,
+  *    crawler/__init__.py:509-513) and post-fetch content types
+  *    (obituary/opinion/wire, X4, extraction.py:1085-1105);
+  *  - a zero-new-URL host (rss always fails + homepage repeats wave 0)
+  *    driving the F12 no-effective-methods auto-pause
+  *    (source_processing.py:369-380).
   */
 object Synth {
 
@@ -28,7 +41,15 @@ object Synth {
       recencyDays: Int = 7, // F8 watermark
       nowDay: Int = 20000, // logical "today" as day ordinal
       nBuckets: Int = 32, // frontier host-hash buckets
-      imageSize: Int = 24)
+      imageSize: Int = 24,
+      deadUrlTtlWaves: Int = 7, // F10 dead-URL TTL (1 wave ≙ 1 logical day)
+      compactEvery: Int = 8, // frontier delta-log compaction cadence
+      sectionLinksPerWave: Int = 5) // S13 supplemental yield per section
+
+  /** F13 ledger thresholds (discovery.py:1158-1515), days ≙ waves. */
+  val RssWindowWaves = 7
+  val RssWindowThreshold = 5
+  val RssConsecThreshold = 3
 
   def hostName(i: Int): String = f"host-$i%04d.example"
 
@@ -42,10 +63,16 @@ object Synth {
     h
   }
 
+  val FrequencyVocab: Seq[String] =
+    Seq("daily", "weekly", "bi-weekly", "monthly", "broadcast", null)
+
+  def frequencyOf(idx: Int): String = FrequencyVocab(idx % FrequencyVocab.length)
+  def sensitivityOf(idx: Int): Int = 1 + idx % 10
+  def statusOf(idx: Int): String = if (idx % 19 == 18) "paused" else "active"
+
   /** Seed registry (reference sources synthesis per FIXTURES.md §2). */
   def sources(spark: SparkSession, cfg: Config): Dataset[Source] = {
     import spark.implicits._
-    val freqs = Seq("daily", "weekly", "bi-weekly", "monthly", "broadcast", null)
     spark.range(cfg.nHosts).map { i =>
       val idx = i.toInt
       val h = hostName(idx)
@@ -54,26 +81,90 @@ object Synth {
         host = s"www.$h",
         host_norm = h,
         canonical_name = f"Publisher $idx%04d",
-        frequency = freqs(idx % freqs.length),
-        bot_sensitivity = 1 + idx % 10,
-        status = if (idx % 19 == 18) "paused" else "active",
+        frequency = frequencyOf(idx),
+        bot_sensitivity = sensitivityOf(idx),
+        status = statusOf(idx),
         base_url = s"https://www.$h")
     }
   }
 
-  /** Article id for (host, wave, slot). */
+  /** Article id for (host, wave, slot) — the RSS/homepage id space. */
   def articleId(cfg: Config)(hostIdx: Int, wave: Int, slot: Int): Long =
     (hostIdx.toLong * cfg.nWaves + wave) * cfg.urlsPerHostPerWave + slot
 
-  /** Raw discovered links for one source in one wave — the synthetic
-    * stand-in for RSS/homepage expansion (S5/S6). URL shapes by slot:
-    * clean story, utm-dup, frag-dup, trailing-slash-dup, date path,
-    * skip-pattern, regex-non-article, out-of-scope host, robots-blocked
-    * path. Publish day ages with the article id (some expired, some
-    * null). */
-  def rawLinks(cfg: Config)(hostIdx: Int, wave: Int): Seq[(String, Int)] = {
+  // ---- multi-method discovery (S5/S6/S13 + cascade) ----
+
+  /** The F12 host: RSS always fails AND the homepage repeats its wave-0
+    * links, so every due wave after 0 yields zero new URLs. */
+  def isZeroNewHost(hostIdx: Int): Boolean = hostIdx % 12 == 6
+
+  /** RSS reliability schedule: the F12 host always fails (driving the
+    * consecutive-3 rule); every 8th+4 host — daily/broadcast cadence in
+    * the frequency vocabulary, so it is due every wave — fails except
+    * when wave%3==2, accumulating ≥5 failures inside a 7-wave window
+    * without ever reaching 3 consecutive (the window rule). */
+  def rssFails(hostIdx: Int, wave: Int): Boolean =
+    isZeroNewHost(hostIdx) || (hostIdx % 8 == 4 && wave % 3 != 2)
+
+  /** RSS yield: every 3rd host has a sparse feed (cascades to the
+    * homepage method); others fill the per-source cap and short-circuit. */
+  def rssYield(cfg: Config)(hostIdx: Int): Int =
+    if (hostIdx % 3 == 0) math.max(1, cfg.urlsPerHostPerWave / 4)
+    else cfg.urlsPerHostPerWave
+
+  /** RSS expansion: None = transient feed failure (F13 ledger event). */
+  def rssLinks(cfg: Config)(hostIdx: Int, wave: Int): Option[Seq[(String, Int)]] =
+    if (rssFails(hostIdx, wave)) None
+    else Some(shapedLinks(cfg)(hostIdx, wave, 0 until rssYield(cfg)(hostIdx)))
+
+  /** Homepage expansion: the full slot range (overlapping RSS — the
+    * order-preserving union dedup, U1) plus nav section pages (M4 feed).
+    * The F12 host's homepage serves a stale snapshot: wave-0 links
+    * forever. */
+  def homepageLinks(cfg: Config)(hostIdx: Int, wave: Int): Seq[(String, Int)] = {
+    val w = if (isZeroNewHost(hostIdx)) 0 else wave
     val h = hostName(hostIdx)
-    (0 until cfg.urlsPerHostPerWave).map { slot =>
+    shapedLinks(cfg)(hostIdx, w, 0 until cfg.urlsPerHostPerWave) ++
+      sectionsOf(hostIdx).zipWithIndex.map { case (s, i) =>
+        (s"https://www.$h/sections/$s", cfg.urlsPerHostPerWave + i)
+      }
+  }
+
+  /** Section vocabulary — names chosen so /<section>/p-<id> passes the
+    * conservative article check (url_filters.py section patterns). */
+  val SectionVocab: Array[String] = Array("news", "blog")
+  val MaxSections: Int = SectionVocab.length
+
+  def sectionsOf(hostIdx: Int): Seq[String] =
+    if (hostIdx % 2 == 0) Seq("news", "blog") else Seq("news")
+
+  private val SectionIdBase = 50000000L
+
+  def sectionArticleId(cfg: Config)(hostIdx: Int, wave: Int, sectionIdx: Int, k: Int): Long =
+    SectionIdBase +
+      ((hostIdx.toLong * cfg.nWaves + wave) * MaxSections + sectionIdx) *
+        cfg.sectionLinksPerWave + k
+
+  /** Supplemental section crawl (S13): articles under a discovered
+    * section prefix. */
+  def sectionLinks(cfg: Config)(hostIdx: Int, wave: Int, section: String): Seq[(String, Int)] = {
+    val h = hostName(hostIdx)
+    val si = SectionVocab.indexOf(section)
+    val w = if (isZeroNewHost(hostIdx)) 0 else wave // stale sections too
+    if (si < 0) Seq.empty
+    else (0 until cfg.sectionLinksPerWave).map { k =>
+      val id = sectionArticleId(cfg)(hostIdx, w, si, k)
+      (f"https://www.$h/$section/p-$id%08d", k)
+    }
+  }
+
+  /** Raw discovered links for (source, wave, slots) — URL shapes by
+    * slot: clean story, utm-dup, frag-dup, date path, skip-pattern,
+    * regex-non-article, out-of-scope host, robots-blocked. Publish day
+    * ages with the article id (some expired, some null). */
+  def shapedLinks(cfg: Config)(hostIdx: Int, wave: Int, slots: Range): Seq[(String, Int)] = {
+    val h = hostName(hostIdx)
+    slots.map { slot =>
       val id = articleId(cfg)(hostIdx, wave, slot)
       val base = f"https://www.$h/stories/a-$id%08d"
       val url = slot % 10 match {
@@ -103,9 +194,10 @@ object Synth {
     else cfg.nowDay - (java.lang.Long.remainderUnsigned(m >>> 8, cfg.recencyDays.toLong)).toInt
   }
 
-  /** Robots rules (graft-added per north rule; RFC 9309 longest-match).
-    * Every 13th host disallows /stories/ entirely; all hosts disallow
-    * /private/; crawl_delay scales with hostIdx. */
+  /** Robots rules (graft-added per north rule; RFC 9309 longest-match,
+    * equal-length ties favor allow). Every 13th host disallows /stories/
+    * entirely; all hosts disallow /private/; crawl_delay scales with
+    * hostIdx. */
   def robots(spark: SparkSession, cfg: Config): Dataset[RobotsRule] = {
     import spark.implicits._
     spark.range(cfg.nHosts).flatMap { i =>
@@ -120,6 +212,16 @@ object Synth {
     }
   }
 
+  def crawlDelayOf(hostIdx: Int): Double = (hostIdx % 4) * 2.0
+
+  /** Pure robots rule list for one host, sorted for longest-match with
+    * allow winning equal-length ties (RFC 9309) — shared by the oracle. */
+  def robotsRulesOf(hostIdx: Int): Seq[(String, Boolean)] = {
+    val base = Seq(("/private/", false), ("/", true))
+    val rs = if (hostIdx % 13 == 12) ("/stories/", false) +: base else base
+    rs.sortBy { case (p, allow) => (-p.length, if (allow) 0 else 1) }
+  }
+
   // ---- the deterministic "server" (fetch resolver) ----
 
   sealed trait Fault
@@ -130,14 +232,27 @@ object Synth {
   case object Timeout extends Fault
   case object Captcha extends Fault
 
-  /** Fault schedule: pure function of (seed, url-id). 403 clusters on
-    * every 17th host (exercising the ×2-forbidden auto-pause,
-    * extraction.py:1419-1450); 429/captcha cluster lightly elsewhere. */
-  def fault(cfg: Config)(hostIdx: Int, id: Long): Fault = {
+  /** Wave the article id belongs to (its discovery wave) — inverts both
+    * id spaces; drives the transient-404 recovery schedule. */
+  def idWave(cfg: Config)(id: Long): Int =
+    if (id >= SectionIdBase)
+      (((id - SectionIdBase) / cfg.sectionLinksPerWave / MaxSections) % cfg.nWaves).toInt
+    else ((id / cfg.urlsPerHostPerWave) % cfg.nWaves).toInt
+
+  /** Fault schedule: pure function of (seed, url-id, wave). 403 clusters
+    * on every 17th host (exercising the ×2-forbidden auto-pause,
+    * extraction.py:1419-1450); 429/captcha cluster lightly elsewhere.
+    * Half the 404s are transient: the page appears once the dead-URL TTL
+    * has elapsed since its discovery wave (F10 re-admission,
+    * crawler/__init__.py:509-513). */
+  def fault(cfg: Config)(hostIdx: Int, id: Long, wave: Int): Fault = {
     if (hostIdx % 17 == 16 && id % 3 != 0) Forbidden
     else {
       val m = java.lang.Long.remainderUnsigned(mix(cfg.seed, 0xfa17L, id), 100)
-      if (m < 4) NotFound
+      if (m < 2) NotFound // permanent
+      else if (m < 4) { // transient — recovers after the TTL
+        if (wave >= idWave(cfg)(id) + cfg.deadUrlTtlWaves) Ok else NotFound
+      }
       else if (m < 6) RateLimited
       else if (m < 8) Timeout
       else if (m < 9) Captcha
@@ -152,6 +267,18 @@ object Synth {
     case RateLimited => 429
     case Timeout => 0
     case Captcha => 403
+  }
+
+  /** Post-fetch content-type detection (X4): a successful fetch is
+    * classified extracted | obituary | opinion | wire
+    * (content_type_detector.py:948,1071,1134; statuses set at
+    * extraction.py:1085-1105). */
+  def contentTypeOf(cfg: Config)(id: Long): String = {
+    val m = java.lang.Long.remainderUnsigned(mix(cfg.seed, 0xc047L, id), 25)
+    if (m == 0) "obituary"
+    else if (m == 1) "opinion"
+    else if (m == 2) "wire"
+    else "extracted"
   }
 
   /** Ground-truth payload for an article id: seeded pixels encoded png

@@ -39,7 +39,12 @@ class UrlKernelsSpec extends AnyFunSuite {
     ("a:1", "a:1"),
     ("not a url at all", "not a url at all"),
     ("http:///path/", "http:///path"),
-    ("https:example.com/x?q", "https:///example.com/x"))
+    ("https:example.com/x?q", "https:///example.com/x"),
+    // CPython strips tab/CR/LF anywhere in the URL before splitting
+    // (_UNSAFE_URL_BYTES_TO_REMOVE, bpo-43882) — verified against the
+    // reference's normalize_url
+    ("https://exa\tmple.com/a\nb/", "https://example.com/ab"),
+    ("https://example.com/a\r?q=1#f", "https://example.com/a"))
 
   val HOST: Seq[(String, String)] = Seq(
     ("Example.com", "example.com"),
