@@ -19,7 +19,12 @@ object SparkEntry {
       graft.queries.PipelineOps.queries ++
       graft.queries.CrawlQueries.queries
 
+  /** DuckDB-equivalent SQL per query. The q_crawl / q_image entries
+    * read oracle-expected parquet (dumped by Verify from the
+    * independent single-threaded CrawlOracle) — `{OUT}` is substituted
+    * with the Verify output dir at dump time. */
   def oracleSql: Map[String, String] =
     graft.queries.CrawlRelational.oracle ++
-      graft.queries.PipelineOps.oracle
+      graft.queries.PipelineOps.oracle ++
+      graft.queries.CrawlExpected.oracle
 }

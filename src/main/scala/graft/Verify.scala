@@ -22,6 +22,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // hard expectations for the crawl-engine queries: the independent
+    // single-threaded oracle's tables, referenced by oracle SQL via
+    // read_parquet('{OUT}/expected_*')
+    try {
+      val cfg = graft.queries.CrawlQueries.cfgFor(sfDir)
+      graft.queries.CrawlExpected.tables(spark, cfg).foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/expected_$name")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] expected dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +45,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -23,6 +23,7 @@ object CrawlOracle {
       fetches: Vector[OracleFetch],
       waveMetrics: Vector[Map[String, Long]],
       sourceStates: Map[String, SourceState], // final discovery state
+      politeness: Map[String, PolitenessState], // final per-host state
       frontier: Vector[FrontRow]) // final merged frontier rows
 
   final case class FrontRow(normUrl: String, host: String, sourceId: String,
@@ -220,6 +221,7 @@ object CrawlOracle {
       fetches = fetches.result(),
       waveMetrics = allMetrics.result(),
       sourceStates = state.toMap,
+      politeness = politeness.toMap,
       frontier = frontier.values.toVector)
   }
 }

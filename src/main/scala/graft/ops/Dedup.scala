@@ -40,10 +40,11 @@ object Dedup {
                         k: Int = 3, threshold: Double = 0.1,
                         maxDocsPerKey: Int = 100): DataFrame = {
     val sh = shingles(docs, idCol, textCol, k)
-    val kept = sh.withColumn("n_docs",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("n_docs") <= maxDocsPerKey)
-      .select("doc", "sh")
+    // stop-shingle prune as hash-agg + semi-join (map-side combinable)
+    // instead of a per-shingle window, which would add a full sort
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxDocsPerKey).select("sh")
+    val kept = sh.join(rare, Seq("sh"), "left_semi").select("doc", "sh")
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = kept.as("a").join(kept.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -82,9 +83,9 @@ object Dedup {
     val perBand = (0 until nBands).map { b =>
       signatures.select(col("doc"), col(s"band$b").as("key"), lit(b).as("band"))
     }.reduce(_ unionByName _)
-    val pruned = perBand.withColumn("n_docs",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-      .filter(col("n_docs") <= maxDocsPerKey)
+    val rare = perBand.groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxDocsPerKey).select("band", "key")
+    val pruned = perBand.join(rare, Seq("band", "key"), "left_semi")
       .select("doc", "key", "band")
     pruned.as("a").join(pruned.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&

@@ -67,4 +67,82 @@ object Similarity {
       .orderBy(desc("cos"), asc(idCol))
       .limit(k)
   }
+
+  // ---- seeded-random-hyperplane SRP + multiprobe (the real ANN path) ----
+
+  /** splitmix64 — deterministic hyperplane PRNG. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Seeded random hyperplanes over the FULL embedding dimension.
+    * Coefficients are dyadic rationals (k/1024 ∈ [-1,1]) so their
+    * decimal literals are bit-exact in any IEEE engine — the DuckDB
+    * oracle SQL embeds the same constants. */
+  def seededHyperplanes(seed: Long, nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits) { i =>
+      Array.tabulate(dim) { d =>
+        val r = splitmix64(seed ^ (i.toLong << 32) ^ d.toLong)
+        ((java.lang.Long.remainderUnsigned(r, 2049L)) - 1024L).toDouble / 1024.0
+      }
+    }
+
+  /** SRP signature from seeded hyperplanes: bit i = (vec · Hᵢ ≥ 0). */
+  def srpBucketSeeded(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(h.toSeq), (p, q) => p.cast("double") * q),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Independent hyperplane sets for multi-table LSH (seeds derived
+    * per table). */
+  def hyperplaneTables(seed: Long, nTables: Int, nBits: Int, dim: Int): Seq[Array[Array[Double]]] =
+    (0 until nTables).map(t => seededHyperplanes(seed + 0x5deece66dL * (t + 1), nBits, dim))
+
+  /** Multi-table LSH ANN (the recall workhorse): L independent SRP
+    * tables of k bits each; a vector is a candidate when it collides
+    * with the query in ANY table (P(capture) = 1-(1-p^k)^L, the
+    * textbook LSH amplification). At scale each table's bucket is a
+    * partition key → L partition lookups instead of a corpus scan.
+    * Recall vs [[bruteForceTopK]] is asserted in AnnSpec. */
+  def multiTableTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int,
+                     tables: Seq[Array[Array[Double]]]): DataFrame = {
+    val withB = tables.zipWithIndex.foldLeft(vectors) { case (df, (planes, t)) =>
+      df.withColumn(s"b$t", srpBucketSeeded(col(vecCol), planes))
+    }
+    val q = withB.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv") +:
+        tables.indices.map(t => col(s"b$t").as(s"qb$t")): _*)
+    val collide = tables.indices.map(t => col(s"b$t") === col(s"qb$t")).reduce(_ || _)
+    withB.join(broadcast(q), collide)
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), trunc4(cosine(col(vecCol), col("qv"))).as("cos"))
+      .orderBy(desc("cos"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Multiprobe ANN: probe the query's bucket plus every bucket at
+    * Hamming distance 1 (nBits+1 probes), exact cosine within the
+    * candidate set. At scale bucket = partition key, so multiprobe is
+    * nBits+1 partition lookups instead of a corpus scan; recall is
+    * asserted against [[bruteForceTopK]] in AnnSpec. */
+  def multiprobeTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int, planes: Array[Array[Double]]): DataFrame = {
+    val withB = vectors.withColumn("bucket", srpBucketSeeded(col(vecCol), planes))
+    val q = withB.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), col("bucket").as("qb"))
+    withB.join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 1)
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), col("bucket"),
+        trunc4(cosine(col(vecCol), col("qv"))).as("cos"))
+      .orderBy(desc("cos"), asc(idCol))
+      .limit(k)
+  }
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.crawl.{CrawlEngine, CrawlOracle}
+import graft.core.{functions => gf}
+import graft.ops.{ImageKernels, ImageOps}
+import graft.synth.Synth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hard correctness oracle for the crawl-engine queries: runs the
+  * single-threaded reference-rules [[CrawlOracle]] (an independent
+  * dataflow implementation) and materializes its expectations as
+  * parquet tables. `Verify` dumps these next to the Spark outputs and
+  * points the DuckDB oracle SQL at them via read_parquet, turning the
+  * formerly rows-only q_crawl / q_image checks into full
+  * rows+schema+hash gates. */
+object CrawlExpected {
+
+  /** Expected-table name → builder. Keys align with `q_<name>` query
+    * names: oracle SQL reads `{OUT}/expected_<name>` parquet. */
+  def tables(spark: SparkSession, cfg: Synth.Config): Map[String, DataFrame] = {
+    import spark.implicits._
+    val o = CrawlOracle.run(cfg)
+
+    val results = o.fetches.map { f =>
+      if (CrawlEngine.OkStatuses.contains(f.status)) {
+        val id = Synth.idOf(f.normUrl).get
+        val img = Synth.imageFor(cfg)(id)
+        val decoded = ImageKernels.decode(img.bytes)
+        val hash = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(img.bytes).map("%02x".format(_)).mkString
+        (f.wave, f.host, f.rank, f.normUrl, f.status, img.image_id, img.fmt,
+          decoded.getWidth, decoded.getHeight, img.caption,
+          ImageKernels.phash64(decoded), hash)
+      } else
+        (f.wave, f.host, f.rank, f.normUrl, f.status, "", "", 0, 0, "", 0L, "")
+    }
+    val resultsDf = results.toDF("wave", "host", "rank", "norm_url", "status",
+      "image_id", "fmt", "w", "h", "caption", "phash", "content_hash")
+
+    val okImages = o.fetches.filter(f => CrawlEngine.OkStatuses.contains(f.status))
+      .map { f =>
+        val id = Synth.idOf(f.normUrl).get
+        Synth.imageFor(cfg)(id)
+      }
+    val decode = okImages
+      .flatMap(i => ImageOps.decodeOne(i.image_id, i.bytes, i.fmt))
+      .toDF("image_id", "w", "h", "fmt", "mean_luma", "phash")
+    val thumbs = okImages
+      .flatMap(i => ImageOps.thumbOne(i.image_id, i.bytes, 8, 8))
+      .map(t => (t.image_id, t.thumb_w, t.thumb_h, t.thumb_phash))
+      .toDF("image_id", "thumb_w", "thumb_h", "thumb_phash")
+
+    Map(
+      "crawl_results" -> resultsDf,
+      "crawl_status_counts" -> o.statusCounts.toSeq.toDF("status", "n"),
+      "crawl_seen_by_bucket" -> o.frontier
+        .groupBy(r => gf.hostBucketJvm(r.host, cfg.nBuckets))
+        .map { case (b, rs) => (b, rs.size.toLong) }.toSeq
+        .toDF("host_bucket", "n_seen"),
+      "crawl_politeness" -> o.politeness.values.toSeq
+        .map(p => (p.host, p.bot_sensitivity, p.tokens_per_wave,
+          p.consecutive_failures, p.bot_encounters, p.forbidden_count))
+        .toDF("host", "bot_sensitivity", "tokens_per_wave",
+          "consecutive_failures", "bot_encounters", "forbidden_count"),
+      "crawl_source_state" -> o.sourceStates.values.toSeq
+        .map(s => (s.source_id, s.last_wave, s.rss_consecutive_failures,
+          s.rss_failure_waves.sorted.mkString(","), s.rss_missing_wave,
+          s.no_effective_consecutive, s.paused_auto, s.last_successful_method,
+          s.discovered_sections.mkString(",")))
+        .toDF("source_id", "last_wave", "rss_consecutive_failures",
+          "rss_failure_waves", "rss_missing_wave", "no_effective_consecutive",
+          "paused_auto", "last_successful_method", "discovered_sections"),
+      "image_decode" -> decode,
+      "image_thumbs" -> thumbs)
+  }
+
+  /** DuckDB oracle SQL for the crawl queries — `{OUT}` is substituted
+    * with the Verify output dir at dump time. */
+  val oracle: Map[String, String] = Map(
+    "q_crawl_results" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')",
+    "q_crawl_status_counts" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_crawl_status_counts/*.parquet')",
+    "q_crawl_seen_by_bucket" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_crawl_seen_by_bucket/*.parquet')",
+    "q_crawl_politeness" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_crawl_politeness/*.parquet')",
+    "q_crawl_source_state" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_crawl_source_state/*.parquet')",
+    "q_image_decode" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_image_decode/*.parquet')",
+    "q_image_thumbs" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_image_thumbs/*.parquet')")
+}

@@ -65,16 +65,32 @@ object CrawlQueries {
         "consecutive_failures", "bot_encounters", "forbidden_count")
       .orderBy("host")
 
-  /** Multimodal decode/feature pass over the fetched binary payloads. */
+  /** Per-source discovery state (F12/F13/M4 surface): ledger, pause
+    * counter, sections. Arrays exported as sorted CSV strings so the
+    * DuckDB hash compare is representation-stable. */
+  val qCrawlSourceState: Q = (s, dir) =>
+    storeFor(s, dir).read(s, "source_state")
+      .select(col("source_id"), col("last_wave"), col("rss_consecutive_failures"),
+        array_join(transform(array_sort(col("rss_failure_waves")),
+          x => x.cast("string")), ",").as("rss_failure_waves"),
+        col("rss_missing_wave"), col("no_effective_consecutive"),
+        col("paused_auto"), col("last_successful_method"),
+        array_join(col("discovered_sections"), ",").as("discovered_sections"))
+      .orderBy("source_id")
+
+  /** Multimodal decode/feature pass over the fetched binary payloads
+    * (every HTTP-200 content type carries one). */
   val qImageDecode: Q = (s, dir) =>
     graft.ops.ImageOps.decodeFeatures(
-      storeFor(s, dir).readAll(s, "results").filter(col("status") === "extracted"))
+      storeFor(s, dir).readAll(s, "results").filter(col("http_status") === 200))
+      .toDF()
       .orderBy("image_id")
 
   /** Thumbnail + perceptual-hash extraction (resize path). */
   val qImageThumbs: Q = (s, dir) =>
     graft.ops.ImageOps.thumbnails(
-      storeFor(s, dir).readAll(s, "results").filter(col("status") === "extracted"))
+      storeFor(s, dir).readAll(s, "results").filter(col("http_status") === 200))
+      .toDF()
       .select("image_id", "thumb_w", "thumb_h", "thumb_phash")
       .orderBy("image_id")
 
@@ -83,6 +99,7 @@ object CrawlQueries {
     "q_crawl_status_counts" -> qCrawlStatusCounts,
     "q_crawl_seen_by_bucket" -> qCrawlSeenByBucket,
     "q_crawl_politeness" -> qCrawlPoliteness,
+    "q_crawl_source_state" -> qCrawlSourceState,
     "q_image_decode" -> qImageDecode,
     "q_image_thumbs" -> qImageThumbs)
 }

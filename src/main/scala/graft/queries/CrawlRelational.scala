@@ -577,7 +577,96 @@ object CrawlRelational {
        ORDER BY doc_id"""
   }
 
+  // S13+M4: per-source section inference — derive a section label per
+  // doc, count per (source, section), keep sections with enough
+  // evidence, top-2 per source (discovery.py:647-863 inference shape)
+  private val s13Sections = Seq("news", "sports", "opinion", "life", "weather")
+  val qS13SectionInfer: Q = (s, dir) => {
+    val sec = s13Sections.zipWithIndex.tail.foldLeft(
+      when(col("doc_id") % s13Sections.length === 0, lit(s13Sections.head))) {
+      case (acc, (p, i)) => acc.when(col("doc_id") % s13Sections.length === i, lit(p))
+    }.otherwise(lit(s13Sections.head))
+    val counts = t(s, dir, "documents")
+      .select(col("source"), sec.as("section"))
+      .groupBy("source", "section").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 4)
+    counts.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("n"), asc("section"))))
+      .filter(col("rk") <= 2)
+      .select("source", "section", "n", "rk")
+      .orderBy("source", "rk")
+  }
+  val sS13 = {
+    val cases = s13Sections.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ")
+    s"""SELECT source, section, n, rk FROM (
+         SELECT source, section, n,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, section) AS rk
+         FROM (
+           SELECT source, CASE CAST(doc_id % ${s13Sections.length} AS INT) $cases END AS section,
+                  COUNT(*) AS n
+           FROM documents GROUP BY 1, 2 HAVING COUNT(*) >= 4))
+       WHERE rk <= 2 ORDER BY source, rk"""
+  }
+
+  // F10: dead-URL TTL re-admission — error rows become retryable once
+  // the 7-day TTL since last attempt has elapsed
+  // (crawler/__init__.py:509-513, 1566-1572)
+  val qF10DeadUrlTtl: Q = (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+        (col("ts").cast("timestamp") <=
+          lit("2024-01-15 00:00:00").cast("timestamp")).as("retryable"))
+      .orderBy("event_id")
+  val sF10 =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         (ts <= TIMESTAMP '2024-01-15 00:00:00') AS retryable
+       FROM events WHERE event_type = 'error' ORDER BY event_id"""
+
+  // F13: RSS transient-failure ledger — consecutive-failure streak
+  // (reset by any success) + failures inside a sliding 7-day window;
+  // the feed is "missing" at 3-consecutive OR 5-in-window
+  // (discovery.py:1158-1515)
+  val qF13RssLedger: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        tsUs(col("ts")).as("ts_us"),
+        (tsUs(col("ts")) / 1000000L).cast("long").as("ts_s"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("fail"))
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val win = Window.partitionBy("user_id").orderBy("ts_s")
+      .rangeBetween(-604800L, 0L)
+    ev.withColumn("grp",
+        sum(when(col("fail") === 0L, 1L).otherwise(0L)).over(wOrd))
+      .withColumn("streak", sum(col("fail")).over(
+        Window.partitionBy("user_id", "grp").orderBy("ts_us", "event_id")))
+      .withColumn("win_fails", sum(col("fail")).over(win))
+      .filter(col("fail") === 1L)
+      .select(col("event_id"), col("user_id"), col("streak"), col("win_fails"),
+        (col("streak") >= 3 || col("win_fails") >= 5).as("feed_missing"))
+      .orderBy("event_id")
+  }
+  val sF13 =
+    """SELECT event_id, user_id, streak, win_fails,
+         (streak >= 3 OR win_fails >= 5) AS feed_missing
+       FROM (
+         SELECT event_id, user_id, fail,
+           SUM(fail) OVER (PARTITION BY user_id, grp ORDER BY ts_us, event_id) AS streak,
+           SUM(fail) OVER (PARTITION BY user_id ORDER BY ts_s
+                           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS win_fails
+         FROM (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch(ts)::BIGINT AS ts_s,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fail,
+             SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS grp
+           FROM events))
+       WHERE fail = 1 ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "q_s13_section_infer" -> qS13SectionInfer,
+    "q_f10_dead_url_ttl" -> qF10DeadUrlTtl,
+    "q_f13_rss_ledger" -> qF13RssLedger,
     "q_f9_wire_filter" -> qF9WireFilter,
     "q_c6_date_parse" -> qC6DateParse,
     "q_s1_source_scan" -> qS1SourceScan,
@@ -610,6 +699,9 @@ object CrawlRelational {
     "q_f11_due_filter" -> qF11DueFilter)
 
   val oracle: Map[String, String] = Map(
+    "q_s13_section_infer" -> sS13,
+    "q_f10_dead_url_ttl" -> sF10,
+    "q_f13_rss_ledger" -> sF13,
     "q_f9_wire_filter" -> sF9,
     "q_c6_date_parse" -> sC6,
     "q_s1_source_scan" -> sS1,

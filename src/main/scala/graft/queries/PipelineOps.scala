@@ -190,7 +190,47 @@ object PipelineOps {
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
        FROM documents ORDER BY doc_id"""
 
+  // seeded-random-hyperplane SRP (full-dimension) + Hamming-1 multiprobe —
+  // the production ANN path; recall vs brute force asserted in AnnSpec.
+  // Hyperplane coefficients are dyadic rationals, so the decimal
+  // literals embedded in the DuckDB SQL are bit-exact.
+  private val AnnSeed = 7L
+  private val AnnBits = 8
+  private val AnnDim = 64
+  private lazy val annPlanes = Similarity.seededHyperplanes(AnnSeed, AnnBits, AnnDim)
+  private lazy val seededBitsSql: String =
+    annPlanes.zipWithIndex.map { case (h, i) =>
+      val dot = h.zipWithIndex.map { case (c, d) =>
+        s"embedding[${d + 1}]*(${java.math.BigDecimal.valueOf(c).toPlainString})"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val qAnnSrpBuckets: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.srpBucketSeeded(col("embedding"), annPlanes).as("bucket"))
+      .orderBy("vec_id")
+  val sAnnSrpBuckets =
+    s"""SELECT vec_id, CAST($seededBitsSql AS BIGINT) AS bucket
+       FROM embeddings ORDER BY vec_id"""
+
+  val qAnnSrpMultiprobe: Q = (s, dir) =>
+    Similarity.multiprobeTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, planes = annPlanes)
+  val sAnnSrpMultiprobe =
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     CAST($seededBitsSql AS BIGINT) AS bucket FROM embeddings),
+       q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       SELECT vec_id, bucket,
+         floor(list_inner_product(v, qv) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) * 1e4) / 1e4 AS cos
+       FROM b, q WHERE bit_count(xor(bucket, qb)) <= 1 AND vec_id <> 0
+       ORDER BY cos DESC, vec_id LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
+    "q_ann_srp_buckets" -> qAnnSrpBuckets,
+    "q_ann_srp_multiprobe" -> qAnnSrpMultiprobe,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_jaccard" -> qDedupJaccard,
     "q_dedup_minhash_sig" -> qDedupMinhashSig,
@@ -205,6 +245,8 @@ object PipelineOps {
     "q_text_fingerprint" -> qTextFingerprint)
 
   val oracle: Map[String, String] = Map(
+    "q_ann_srp_buckets" -> sAnnSrpBuckets,
+    "q_ann_srp_multiprobe" -> sAnnSrpMultiprobe,
     "q_dedup_exact" -> sDedupExact,
     "q_dedup_ngram_jaccard" -> sDedupJaccard,
     "q_dedup_minhash_sig" -> sDedupMinhashSig,
