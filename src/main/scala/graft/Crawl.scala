@@ -24,11 +24,23 @@ object Crawl {
       .master(s"local[$cpus]")
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("GRAFT_TRACE").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          t0.put(j.jobId, System.nanoTime())
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val dt = (System.nanoTime() - t0.getOrDefault(j.jobId, System.nanoTime())) / 1e9
+          if (dt > 0.2) System.err.println(f"[job] id=${j.jobId}%4d ${dt}%7.3fs")
+        }
+      })
+    }
 
     val cfg = Synth.Config(nHosts = nHosts, urlsPerHostPerWave = perWave, nWaves = nWaves)
     val store = new SnapshotStore(storeDir)

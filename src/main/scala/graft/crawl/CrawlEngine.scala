@@ -150,6 +150,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // RSS first; if it yields ≥ max/2 links the remaining methods are
     // skipped (source_processing.py:624-677); the supplemental section
     // crawl runs for every source with discovered sections.
+    // lineage strings (M5) are NOT built here: the expansion carries
+    // (method_rank, slot, section) ints and the discovered_by label is
+    // assembled by a codegen concat only for rows that survive the
+    // F-chain + dedup + seen check — deferred formatting keeps ~50
+    // bytes/row out of the hottest shuffle.
     val raw = due.repartition(spark.sparkContext.defaultParallelism).flatMap { d =>
       val c = cfgB.value
       val out = scala.collection.mutable.ArrayBuffer.empty[RawLink]
@@ -157,24 +162,21 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         if (d.rss_skip) Seq.empty
         else Synth.rssLinks(c)(d.host_idx, wave).getOrElse(Seq.empty)
       rssLinks.foreach { case (url, slot) =>
-        out += RawLink(d.source_id, d.host_norm, url,
-          s"rss[${d.host_norm}/w$wave#$slot]", 0)
+        out += RawLink(d.source_id, d.host_norm, url, 0, slot, null)
       }
       val shortCircuit = rssLinks.size >= c.urlsPerHostPerWave / 2
       if (!shortCircuit) {
         Synth.homepageLinks(c)(d.host_idx, wave).foreach { case (url, slot) =>
-          out += RawLink(d.source_id, d.host_norm, url,
-            s"homepage[${d.host_norm}/w$wave#$slot]", 1)
+          out += RawLink(d.source_id, d.host_norm, url, 1, slot, null)
         }
       }
       d.sections.foreach { sec =>
         Synth.sectionLinks(c)(d.host_idx, wave, sec).foreach { case (url, k) =>
-          out += RawLink(d.source_id, d.host_norm, url,
-            s"section_crawl[${d.host_norm}/$sec/w$wave#$k]", 2)
+          out += RawLink(d.source_id, d.host_norm, url, 2, k, sec)
         }
       }
       out
-    }.toDF("source_id", "src_host", "url", "discovered_by", "method_rank")
+    }.toDF("source_id", "src_host", "url", "method_rank", "slot", "section")
 
     // F-chain with a single outcome tag; metrics ride the first action
     // via observe() — no separate counting job (A7)
@@ -196,30 +198,37 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         count(when(col("outcome") === "expired", 1)).as("expired"),
         count(when(col("outcome") === "ok", 1)).as("ok"))
 
-    // W2/U1: first-occurrence within the batch in METHOD-CASCADE order —
-    // min(struct(method_rank, url, …)) hash-aggregates with map-side
-    // partial combine, so the shuffle carries one row per norm_url.
     val candidates = normalized
       .filter(col("outcome") === "ok")
-      .groupBy("norm_url")
-      .agg(min(struct(col("method_rank"), col("url"), col("source_id"),
-        col("src_host"), col("host"), col("pub_day"), col("discovered_by"))).as("r"))
-      .select(col("norm_url"), col("r.method_rank"), col("r.url"), col("r.source_id"),
-        col("r.src_host"), col("r.host"), col("r.pub_day"), col("r.discovered_by"))
+      .select(col("norm_url"), col("method_rank"), col("url"), col("source_id"),
+        col("src_host"), col("host"), col("pub_day"), col("slot"), col("section"))
       .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(nb.toLong)).cast("int"))
       .as[CandRow]
 
-    // ---- 3. J6/X5: bucket-co-partitioned Bloom screen (executor-side;
-    // the driver never holds the bank) + bucket-pruned exact confirm
+    // ---- 3. W2/U1 + J6/X5 in ONE bucket shuffle: norm_url → host →
+    // bucket is functional, so the batch dedup (keep the min
+    // (method_rank, url) occurrence — method-cascade order) can run
+    // inside the bucket cogroup that also evaluates the Bloom screen.
+    // The Bloom bank stays a bucket-keyed table evaluated executor-side;
+    // the driver never holds it.
     val blooms = store.readBuckets(spark, "seen_bloom", touched).as[BloomRow]
     val checked: Dataset[(CandRow, Boolean)] = candidates
       .groupByKey(_.host_bucket)
       .cogroup(blooms.groupByKey(_.bucket)) { (_, cs, bs) =>
+        val best = new java.util.HashMap[String, CandRow]()
+        cs.foreach { c =>
+          val prev = best.get(c.norm_url)
+          if (prev == null || c.method_rank < prev.method_rank ||
+            (c.method_rank == prev.method_rank && c.url < prev.url))
+            best.put(c.norm_url, c)
+        }
         val bf = bs.nextOption()
           .map(r => BloomFilter.readFrom(new ByteArrayInputStream(r.bloom)))
+        import scala.jdk.CollectionConverters._
         bf match {
-          case None => cs.map(c => (c, false))
-          case Some(f) => cs.map(c => (c, f.mightContainString(c.norm_url)))
+          case None => best.values().iterator().asScala.map(c => (c, false))
+          case Some(f) => best.values().iterator().asScala
+            .map(c => (c, f.mightContainString(c.norm_url)))
         }
       }.cache()
     val maybeSeen = checked.filter(_._2).map(_._1).toDF()
@@ -257,11 +266,19 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .cache()
 
     val dedupObs = org.apache.spark.sql.Observation()
+    // M5 lineage label, assembled post-dedup (same format as the oracle)
+    val discoveredBy =
+      when(col("method_rank") === 0, concat(lit("rss["), col("host"),
+        lit(s"/w$wave#"), col("slot").cast("string"), lit("]")))
+        .when(col("method_rank") === 1, concat(lit("homepage["), col("host"),
+          lit(s"/w$wave#"), col("slot").cast("string"), lit("]")))
+        .otherwise(concat(lit("section_crawl["), col("host"), lit("/"),
+          col("section"), lit(s"/w$wave#"), col("slot").cast("string"), lit("]")))
     val discovered = gatedDelta.select(
       col("url"), col("norm_url"), col("host"), col("host_bucket"),
       col("source_id"), col("status"),
       lit(1).as("priority"), lit(0).as("crawl_depth"),
-      col("discovered_by"), lit(wave).as("discovered_wave"),
+      discoveredBy.as("discovered_by"), lit(wave).as("discovered_wave"),
       lit(-1).as("processed_wave"), lit(0).as("http_status"),
       col("pub_day").as("publish_day"), lit("").as("content_hash"),
       lit("").as("error_message"),
@@ -270,18 +287,30 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         count(lit(1)).as("n"),
         count(when(col("status") === "robots_blocked", 1)).as("robots_blocked"))
 
-    // ---- 5. plan: merge-on-read over the delta log (latest row per
-    // URL), F10 TTL re-admission, politeness tokens, bounded top-k ----
-    // pre-filter before the merge shuffle: only rows that can be (or
-    // shadow) plan-eligible versions — 'article' backlog, '404' rows
-    // awaiting TTL re-admission (F10), and outcome updates that may
-    // supersede them. not_article/wire/robots_blocked discovery rows are
-    // never updated and never eligible, so they skip the shuffle.
+    // ---- 5. plan: fold the (small) update log over the immutable
+    // discovery rows, F10 TTL re-admission, politeness tokens, bounded
+    // top-k. The backlog side (discovery rows) is NEVER shuffled for
+    // the merge: a URL's discovery row is immutable, only its latest
+    // update (≤ planned rows per wave, reset by compaction) can
+    // supersede it, and that update set is merged on its own (tiny) and
+    // joined in — broadcast under AQE at working scales, plain join
+    // fallback beyond. not_article/wire/robots_blocked rows are never
+    // updated and never eligible, so they skip the plan path entirely.
     val log = store.read(spark, "frontier")
-    val planInput = log
-      .filter(col("is_update") || col("status").isin("article", "404"))
+    val dRows = log
+      .filter(!col("is_update") && col("status").isin("article", "404"))
       .unionByName(discovered.filter(col("status") === "article"))
-    val latestEligible = mergeLog(planInput)
+    val latestU = mergeLog(log.filter(col("is_update")))
+      .select(col("norm_url").as("u_url"), col("status").as("u_status"),
+        col("http_status").as("u_http"), col("processed_wave").as("u_processed"),
+        col("error_message").as("u_error"))
+    val latestEligible = dRows
+      .join(latestU, col("norm_url") === col("u_url"), "left")
+      .withColumn("status", coalesce(col("u_status"), col("status")))
+      .withColumn("http_status", coalesce(col("u_http"), col("http_status")))
+      .withColumn("processed_wave", coalesce(col("u_processed"), col("processed_wave")))
+      .withColumn("error_message", coalesce(col("u_error"), col("error_message")))
+      .drop("u_url", "u_status", "u_http", "u_processed", "u_error")
       .filter(col("status") === "article" ||
         (col("status") === "404" &&
           lit(wave) - col("processed_wave") >= lit(cfg.deadUrlTtlWaves)))
@@ -293,28 +322,23 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .map(st => (st.host, st.tokens_per_wave))
       .toDF("p_host", "tokens")
     val mixSeed = cfg.seed + wave
-    val planned: Dataset[Planned] = latestEligible
+    // per-host top-k with a CONSTANT rank bound (= the global ≤3/host
+    // cap) so Catalyst plans a WindowGroupLimit: each map task keeps
+    // only its partial top-3 per host BEFORE the shuffle — the ranking
+    // exchange carries O(3·hosts·tasks) rows, not the whole backlog,
+    // and hot-host skew is clipped at the source. The per-host token
+    // budget (≤ cap) is applied as a residual filter after the window.
+    val planned = latestEligible
       .join(broadcast(availHosts), col("host") === col("p_host"), "inner")
       .withColumn("mix", gf.mix_key64(mixSeed, col("norm_url")))
-      .select("norm_url", "host", "host_bucket", "source_id",
-        "priority", "discovered_wave", "mix", "tokens")
-      .as[PlanCand]
-      .groupByKey(_.host)
-      .flatMapGroups { (host, it) =>
-        // bounded selection: O(tokens) memory however large the host's
-        // backlog — a hot host streams through one task without a sort
-        var k = -1
-        val best = scala.collection.mutable.ArrayBuffer.empty[PlanCand]
-        it.foreach { c =>
-          if (k < 0) k = c.tokens
-          val pos = best.indexWhere(b => planOrder.gt(keyOf(b), keyOf(c)))
-          if (best.length < k) best.insert(if (pos < 0) best.length else pos, c)
-          else if (pos >= 0) { best.insert(pos, c); best.remove(k) }
-        }
-        best.iterator.zipWithIndex.map { case (c, i) =>
-          Planned(c.norm_url, host, c.host_bucket, c.source_id, i + 1)
-        }
-      }
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("host")
+          .orderBy(col("priority").desc, col("discovered_wave").asc,
+            col("mix").asc, col("norm_url").asc)))
+      .filter(col("rn") <= Politeness.MaxPerDomainPerWave && col("rn") <= col("tokens"))
+      .select(col("norm_url"), col("host"), col("host_bucket"),
+        col("source_id"), col("rn").as("rank"))
+      .as[Planned]
 
     // ---- 6. fetch (X2 cascade executor; X4 content typing) ----
     val results = planned.map { p =>
@@ -399,17 +423,16 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       DueFacts(d.source_id, rssAttempted, rssFailed, !shortCircuit,
         rawRss, rawHomepage, rawSection)
     }.toDF()
+    // one agg for per-method new counts AND M4 section inference
     val newByMethod = gatedDelta.groupBy("source_id").agg(
       count(when(col("method_rank") === 0, 1)).as("new_rss"),
       count(when(col("method_rank") === 1, 1)).as("new_homepage"),
-      count(when(col("method_rank") === 2, 1)).as("new_section"))
-    val sectionsFound = gatedDelta
-      .withColumn("section", regexp_extract(col("norm_url"), "/sections/([a-z]+)$", 1))
-      .filter(col("section") =!= "")
-      .groupBy("source_id").agg(collect_set("section").as("sections_found"))
+      count(when(col("method_rank") === 2, 1)).as("new_section"),
+      collect_set(nullif(
+        regexp_extract(col("norm_url"), "/sections/([a-z]+)$", 1), lit("")))
+        .as("sections_found"))
     val perSource = dueFacts
       .join(newByMethod, Seq("source_id"), "left")
-      .join(sectionsFound, Seq("source_id"), "left")
       .cache()
     val stateNext = state.toDF()
       .join(sources.toDF().select(col("source_id"), col("frequency")), Seq("source_id"))
@@ -596,13 +619,10 @@ object CrawlEngine {
   final case class DueSource(source_id: String, host_norm: String, frequency: String,
                              host_idx: Int, rss_skip: Boolean, sections: Seq[String])
   final case class RawLink(source_id: String, src_host: String, url: String,
-                           discovered_by: String, method_rank: Int)
+                           method_rank: Int, slot: Int, section: String)
   final case class CandRow(norm_url: String, method_rank: Int, url: String,
                            source_id: String, src_host: String, host: String,
-                           pub_day: Int, discovered_by: String, host_bucket: Int)
-  final case class PlanCand(norm_url: String, host: String, host_bucket: Int,
-                            source_id: String, priority: Int, discovered_wave: Int,
-                            mix: Long, tokens: Int)
+                           pub_day: Int, slot: Int, section: String, host_bucket: Int)
   final case class Planned(norm_url: String, host: String, host_bucket: Int,
                            source_id: String, rank: Int)
   final case class DueFacts(source_id: String, rss_attempted: Boolean,
@@ -643,14 +663,6 @@ object CrawlEngine {
     "source_id", "status", "priority", "crawl_depth", "discovered_by",
     "discovered_wave", "processed_wave", "http_status", "publish_day",
     "content_hash", "error_message", "seq", "is_update")
-
-  /** Deterministic plan ordering: never-tried/priority first, then
-    * discovery wave, then the seeded 64-bit mix, then the URL as the
-    * total-order tiebreak (O1/O3/O6). */
-  type PlanKey = (Int, Int, Long, String)
-  def keyOf(c: PlanCand): PlanKey = (-c.priority, c.discovered_wave, c.mix, c.norm_url)
-  val planOrder: Ordering[PlanKey] = Ordering.Tuple4(
-    Ordering.Int, Ordering.Int, Ordering.Long, Ordering.String)
 
   /** Merge-on-read: latest (max-seq) version of every URL in the log. */
   def mergeLog(logDf: DataFrame): DataFrame = {
