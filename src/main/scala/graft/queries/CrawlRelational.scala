@@ -609,6 +609,29 @@ object CrawlRelational {
        WHERE rk <= 2 ORDER BY source, rk"""
   }
 
+  // S14: legacy depth-1 BFS internal/external link split — discovered
+  // links partition by whether their canonical host matches the source
+  // (crawler legacy BFS: internal links queued, external recorded)
+  val qS14IntExtSplit: Q = (s, dir) => {
+    val url = when(col("doc_id") % 3 === 0,
+      concat(lit("https://partner-"), col("source"), lit(".example/out/"),
+        col("doc_id").cast("string")))
+      .otherwise(concat(lit("https://www."), col("source"), lit(".example/story/"),
+        col("doc_id").cast("string")))
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("host", gf.canonical_host(url))
+      .withColumn("internal", col("host") === concat(col("source"), lit(".example")))
+      .groupBy("source")
+      .agg(count(when(col("internal"), 1)).as("n_internal"),
+        count(when(!col("internal"), 1)).as("n_external"))
+      .orderBy("source")
+  }
+  val sS14 =
+    """SELECT source,
+         COUNT(*) FILTER (WHERE doc_id % 3 <> 0) AS n_internal,
+         COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS n_external
+       FROM documents GROUP BY source ORDER BY source"""
+
   // F10: dead-URL TTL re-admission — error rows become retryable once
   // the 7-day TTL since last attempt has elapsed
   // (crawler/__init__.py:509-513, 1566-1572)
@@ -664,6 +687,7 @@ object CrawlRelational {
        WHERE fail = 1 ORDER BY event_id"""
 
   val queries: Map[String, Q] = Map(
+    "q_s14_int_ext_split" -> qS14IntExtSplit,
     "q_s13_section_infer" -> qS13SectionInfer,
     "q_f10_dead_url_ttl" -> qF10DeadUrlTtl,
     "q_f13_rss_ledger" -> qF13RssLedger,
@@ -699,6 +723,7 @@ object CrawlRelational {
     "q_f11_due_filter" -> qF11DueFilter)
 
   val oracle: Map[String, String] = Map(
+    "q_s14_int_ext_split" -> sS14,
     "q_s13_section_infer" -> sS13,
     "q_f10_dead_url_ttl" -> sF10,
     "q_f13_rss_ledger" -> sF13,
