@@ -321,23 +321,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .filter(st => Politeness.available(st, wave, waveSec))
       .map(st => (st.host, st.tokens_per_wave))
       .toDF("p_host", "tokens")
-    val mixSeed = cfg.seed + wave
-    // per-host top-k with a CONSTANT rank bound (= the global ≤3/host
-    // cap) so Catalyst plans a WindowGroupLimit: each map task keeps
-    // only its partial top-3 per host BEFORE the shuffle — the ranking
-    // exchange carries O(3·hosts·tasks) rows, not the whole backlog,
-    // and hot-host skew is clipped at the source. The per-host token
-    // budget (≤ cap) is applied as a residual filter after the window.
-    val planned = latestEligible
-      .join(broadcast(availHosts), col("host") === col("p_host"), "inner")
-      .withColumn("mix", gf.mix_key64(mixSeed, col("norm_url")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("host")
-          .orderBy(col("priority").desc, col("discovered_wave").asc,
-            col("mix").asc, col("norm_url").asc)))
-      .filter(col("rn") <= Politeness.MaxPerDomainPerWave && col("rn") <= col("tokens"))
-      .select(col("norm_url"), col("host"), col("host_bucket"),
-        col("source_id"), col("rn").as("rank"))
+    val planned = rankPerHost(latestEligible, availHosts, cfg.seed + wave)
       .as[Planned]
 
     // ---- 6. fetch (X2 cascade executor; X4 content typing) ----
@@ -663,6 +647,29 @@ object CrawlEngine {
     "source_id", "status", "priority", "crawl_depth", "discovered_by",
     "discovered_wave", "processed_wave", "http_status", "publish_day",
     "content_hash", "error_message", "seq", "is_update")
+
+  /** Per-host token ranking (W1/W4/O1/O3/O6) with a CONSTANT rank bound
+    * (= the global ≤3/host cap) so Catalyst plans a WindowGroupLimit:
+    * each map task keeps only its partial top-3 per host BEFORE the
+    * shuffle — the ranking exchange carries O(3·hosts·tasks) rows, not
+    * the whole backlog, and hot-host skew is clipped at the source. The
+    * per-host token budget (≤ cap) applies as a residual filter after
+    * the window. Ordering: priority desc, discovery wave asc, seeded
+    * 64-bit mix, URL as the total-order tiebreak. PlanSpec asserts the
+    * WindowGroupLimit shape. */
+  def rankPerHost(eligible: DataFrame, availHosts: DataFrame, mixSeed: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    eligible
+      .join(broadcast(availHosts), col("host") === col("p_host"), "inner")
+      .withColumn("mix", graft.core.functions.mix_key64(mixSeed, col("norm_url")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("host")
+          .orderBy(col("priority").desc, col("discovered_wave").asc,
+            col("mix").asc, col("norm_url").asc)))
+      .filter(col("rn") <= Politeness.MaxPerDomainPerWave && col("rn") <= col("tokens"))
+      .select(col("norm_url"), col("host"), col("host_bucket"),
+        col("source_id"), col("rn").as("rank"))
+  }
 
   /** Merge-on-read: latest (max-seq) version of every URL in the log. */
   def mergeLog(logDf: DataFrame): DataFrame = {

@@ -74,4 +74,30 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_sim_cosine_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to full sort:\n$p")
   }
+
+  test("engine ranking: WindowGroupLimit (partial map-side top-k per host)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val eligible = (0 until 2000)
+      .map(i => (s"https://h${i % 7}.example/a-$i", s"h${i % 7}.example",
+        i % 32, f"src-${i % 7}%04d", 1, i % 3))
+      .toDF("norm_url", "host", "host_bucket", "source_id", "priority", "discovered_wave")
+    val avail = (0 until 7).map(i => (s"h$i.example", 1 + i % 3)).toDF("p_host", "tokens")
+    val df = graft.crawl.CrawlEngine.rankPerHost(eligible, avail, mixSeed = 99L)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("WindowGroupLimit"), s"ranking not group-limited:\n$p")
+    assert(p.contains("Partial"), s"no map-side partial group limit:\n$p")
+    // budget invariant on the result itself
+    val got = df.collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(1)).foreach { case (h, rows) =>
+      assert(rows.length <= 3, s"host $h exceeded cap")
+    }
+  }
+
+  test("q_ann_srp_multiprobe: single corpus scan joined to a 1-row broadcast query") {
+    val p = plan("q_ann_srp_multiprobe")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to full sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"query join degraded to SMJ:\n$p")
+  }
 }
