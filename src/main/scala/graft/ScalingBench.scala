@@ -11,9 +11,87 @@ import org.apache.spark.sql.SparkSession
   * JSON line with throughput at both levels and the scaling efficiency
   * thr(4N) / (4 · thr(N)).
   *
+  * Each level runs in its own CHILD JVM pinned to exactly N cores
+  * (`taskset -c 0..N-1` + `-XX:ActiveProcessorCount=N`): in-process
+  * `local[N]` only bounds executor task slots, while GC, the Spark
+  * scheduler, Netty pools, and parquet IO threads would still use all
+  * machine cores — inflating the low level and corrupting the ratio.
+  * Pinning gives every level exactly its nominal core budget, the
+  * faithful single-box stand-in for an N-executor cluster.
+  *
   *   graft.ScalingBench [nHosts] [urlsPerHostPerWave] [nWaves] [nLow] [nHigh]
   */
 object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val nHosts = args.lift(0).map(_.toInt).getOrElse(2000)
+    val perWave = args.lift(1).map(_.toInt).getOrElse(150)
+    val nWaves = args.lift(2).map(_.toInt).getOrElse(3)
+    val nLow = args.lift(3).map(_.toInt).getOrElse(8)
+    val nHigh = args.lift(4).map(_.toInt).getOrElse(32)
+
+    val (sLow, dLow, fLow) = ScalingChild.runPinned(nLow, nHosts, perWave, nWaves)
+    val (sHigh, dHigh, fHigh) = ScalingChild.runPinned(nHigh, nHosts, perWave, nWaves)
+    require(dLow == dHigh && fLow == fHigh,
+      s"non-deterministic crawl across parallelism: $dLow/$fLow vs $dHigh/$fHigh")
+    val thrLow = dLow / sLow
+    val thrHigh = dHigh / sHigh
+    val eff = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
+    println(
+      s"""{"metric":"crawl_scaling_efficiency","value":$eff,"unit":"ratio",""" +
+        s""""n_low":$nLow,"n_high":$nHigh,""" +
+        s""""thr_low_urls_per_sec":$thrLow,"thr_high_urls_per_sec":$thrHigh,""" +
+        s""""sec_low":$sLow,"sec_high":$sHigh,""" +
+        s""""discovered":$dLow,"fetched":$fLow,""" +
+        s""""config":{"nHosts":$nHosts,"urlsPerHostPerWave":$perWave,"nWaves":$nWaves}}""")
+  }
+}
+
+/** One pinned measurement level: JIT warm-up + best-of-2 crawls inside
+  * a child JVM restricted to `cpus` cores. */
+object ScalingChild {
+
+  /** JDK-17 module opens Spark needs outside spark-submit (mirrors
+    * build.sbt / JavaModuleOptions.defaultModuleOptions). */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork this class pinned to `cpus` cores; returns
+    * (bestSeconds, discovered, fetched). */
+  def runPinned(cpus: Int, nHosts: Int, perWave: Int, nWaves: Int): (Double, Long, Long) = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val pin =
+      if (new java.io.File("/usr/bin/taskset").exists())
+        Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
+      else Seq.empty
+    val cmd = pin ++ Seq(javaBin,
+      s"-XX:ActiveProcessorCount=$cpus", "-XX:+UseParallelGC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
+      addOpens ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ScalingChild",
+      cpus.toString, nHosts.toString, perWave.toString, nWaves.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    require(rc == 0, s"pinned child (cpus=$cpus) failed rc=$rc: $out")
+    val line = out.linesIterator.filter(_.startsWith("CHILD ")).toSeq.lastOption
+      .getOrElse(sys.error(s"no CHILD line in: $out"))
+    val Array(_, s, d, f) = line.split(" ")
+    (s.toDouble, d.toLong, f.toLong)
+  }
 
   private def session(cpus: Int): SparkSession = {
     val localDir = java.nio.file.Files
@@ -52,11 +130,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val nHosts = args.lift(0).map(_.toInt).getOrElse(2000)
-    val perWave = args.lift(1).map(_.toInt).getOrElse(150)
-    val nWaves = args.lift(2).map(_.toInt).getOrElse(3)
-    val nLow = args.lift(3).map(_.toInt).getOrElse(8)
-    val nHigh = args.lift(4).map(_.toInt).getOrElse(32)
+    val Array(cpus, nHosts, perWave, nWaves) = args.map(_.toInt)
     val cfg = Synth.Config(nHosts = nHosts, urlsPerHostPerWave = perWave, nWaves = nWaves)
     // warm-up proportional to the real world so the JIT reaches steady
     // state before measurement — a token warm-up biases whichever
@@ -64,32 +138,15 @@ object ScalingBench {
     val warmCfg = cfg.copy(nHosts = math.max(500, nHosts / 8),
       urlsPerHostPerWave = math.max(10, perWave / 4),
       nWaves = math.min(2, nWaves))
-
-    def measure(cpus: Int): (Double, Long, Long) = {
-      val spark = session(cpus)
-      runOnce(spark, warmCfg) // JIT/codegen warm-up, untimed
-      // best-of-2: this sandbox is a shared VM with ±40% run-to-run
-      // noise; the minimum is the machine's actual capability at each
-      // level, measured identically for both
-      val a = runOnce(spark, cfg)
-      val b = runOnce(spark, cfg)
-      spark.stop()
-      if (a._1 <= b._1) a else b
-    }
-
-    val (sLow, dLow, fLow) = measure(nLow)
-    val (sHigh, dHigh, fHigh) = measure(nHigh)
-    require(dLow == dHigh && fLow == fHigh,
-      s"non-deterministic crawl across parallelism: $dLow/$fLow vs $dHigh/$fHigh")
-    val thrLow = dLow / sLow
-    val thrHigh = dHigh / sHigh
-    val eff = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
-    println(
-      s"""{"metric":"crawl_scaling_efficiency","value":$eff,"unit":"ratio",""" +
-        s""""n_low":$nLow,"n_high":$nHigh,""" +
-        s""""thr_low_urls_per_sec":$thrLow,"thr_high_urls_per_sec":$thrHigh,""" +
-        s""""sec_low":$sLow,"sec_high":$sHigh,""" +
-        s""""discovered":$dLow,"fetched":$fLow,""" +
-        s""""config":{"nHosts":$nHosts,"urlsPerHostPerWave":$perWave,"nWaves":$nWaves}}""")
+    val spark = session(cpus)
+    runOnce(spark, warmCfg) // JIT/codegen warm-up, untimed
+    // best-of-2: this sandbox is a shared VM with ±40% run-to-run
+    // noise; the minimum is the machine's actual capability at each
+    // level, measured identically for both
+    val a = runOnce(spark, cfg)
+    val b = runOnce(spark, cfg)
+    spark.stop()
+    val best = if (a._1 <= b._1) a else b
+    println(s"CHILD ${best._1} ${best._2} ${best._3}")
   }
 }

@@ -201,7 +201,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val candidates = normalized
       .filter(col("outcome") === "ok")
       .select(col("norm_url"), col("method_rank"), col("url"), col("source_id"),
-        col("src_host"), col("host"), col("pub_day"), col("slot"), col("section"))
+        col("host"), col("pub_day"), col("slot"), col("section"))
       .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(nb.toLong)).cast("int"))
       .as[CandRow]
 
@@ -604,8 +604,10 @@ object CrawlEngine {
                              host_idx: Int, rss_skip: Boolean, sections: Seq[String])
   final case class RawLink(source_id: String, src_host: String, url: String,
                            method_rank: Int, slot: Int, section: String)
+  // src_host deliberately absent: it dies at the scope check and would
+  // otherwise ride the hottest shuffle (the bucket cogroup) for nothing
   final case class CandRow(norm_url: String, method_rank: Int, url: String,
-                           source_id: String, src_host: String, host: String,
+                           source_id: String, host: String,
                            pub_day: Int, slot: Int, section: String, host_bucket: Int)
   final case class Planned(norm_url: String, host: String, host_bucket: Int,
                            source_id: String, rank: Int)
