@@ -123,6 +123,15 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
   def runWave(wave: Int): WaveMetrics = {
     val nb = cfg.nBuckets
     val cfgB = spark.sparkContext.broadcast(cfg)
+    // wave-varying values enter the PLAN as a one-row parameter table,
+    // never as literals: literals bake into whole-stage-codegen source,
+    // so per-wave constants would force a Janino recompile of every
+    // stage every wave (a serial, lock-guarded driver+executor cost
+    // measured at ~40% of task runtime); with parameter columns the
+    // generated code is byte-identical across waves and the codegen
+    // cache hits.
+    val params = broadcast(Seq((wave, 2L * wave, cfg.seed + wave))
+      .toDF("cur_wave", "cur_seq", "mix_seed"))
     val politeness = store.read(spark, "politeness").as[PolitenessState]
     val sources = store.read(spark, "sources").as[Source]
     val state = store.read(spark, "source_state").as[SourceState]
@@ -267,22 +276,23 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 
     val dedupObs = org.apache.spark.sql.Observation()
     // M5 lineage label, assembled post-dedup (same format as the oracle)
+    val waveTag = concat(lit("/w"), col("cur_wave").cast("string"), lit("#"))
     val discoveredBy =
       when(col("method_rank") === 0, concat(lit("rss["), col("host"),
-        lit(s"/w$wave#"), col("slot").cast("string"), lit("]")))
+        waveTag, col("slot").cast("string"), lit("]")))
         .when(col("method_rank") === 1, concat(lit("homepage["), col("host"),
-          lit(s"/w$wave#"), col("slot").cast("string"), lit("]")))
+          waveTag, col("slot").cast("string"), lit("]")))
         .otherwise(concat(lit("section_crawl["), col("host"), lit("/"),
-          col("section"), lit(s"/w$wave#"), col("slot").cast("string"), lit("]")))
-    val discovered = gatedDelta.select(
+          col("section"), waveTag, col("slot").cast("string"), lit("]")))
+    val discovered = gatedDelta.crossJoin(params).select(
       col("url"), col("norm_url"), col("host"), col("host_bucket"),
       col("source_id"), col("status"),
       lit(1).as("priority"), lit(0).as("crawl_depth"),
-      discoveredBy.as("discovered_by"), lit(wave).as("discovered_wave"),
+      discoveredBy.as("discovered_by"), col("cur_wave").as("discovered_wave"),
       lit(-1).as("processed_wave"), lit(0).as("http_status"),
       col("pub_day").as("publish_day"), lit("").as("content_hash"),
       lit("").as("error_message"),
-      lit(2L * wave).as("seq"), lit(false).as("is_update"))
+      col("cur_seq").as("seq"), lit(false).as("is_update"))
       .observe(dedupObs,
         count(lit(1)).as("n"),
         count(when(col("status") === "robots_blocked", 1)).as("robots_blocked"))
@@ -311,9 +321,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .withColumn("processed_wave", coalesce(col("u_processed"), col("processed_wave")))
       .withColumn("error_message", coalesce(col("u_error"), col("error_message")))
       .drop("u_url", "u_status", "u_http", "u_processed", "u_error")
+      .crossJoin(params)
       .filter(col("status") === "article" ||
         (col("status") === "404" &&
-          lit(wave) - col("processed_wave") >= lit(cfg.deadUrlTtlWaves)))
+          col("cur_wave") - col("processed_wave") >= lit(cfg.deadUrlTtlWaves)))
+      .drop("cur_wave", "cur_seq")
       .cache()
 
     val waveSec = cfg.waveSeconds
@@ -321,8 +333,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .filter(st => Politeness.available(st, wave, waveSec))
       .map(st => (st.host, st.tokens_per_wave))
       .toDF("p_host", "tokens")
-    val planned = rankPerHost(latestEligible, availHosts, cfg.seed + wave)
-      .as[Planned]
+    val planned = rankPerHost(latestEligible, availHosts).as[Planned]
 
     // ---- 6. fetch (X2 cascade executor; X4 content typing) ----
     val results = planned.map { p =>
@@ -339,7 +350,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // (§1.4 transitions); everything else in the frontier is untouched
     // and stays by manifest reference.
     val out = results.toDF().select(col("norm_url").as("r_url"),
-      col("status").as("r_status"), col("http_status").as("r_http"))
+      col("status").as("r_status"), col("http_status").as("r_http"),
+      col("wave").as("r_wave"))
     val updates = latestEligible
       .join(broadcast(out), col("norm_url") === col("r_url"), "inner")
       .withColumn("status",
@@ -347,13 +359,13 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           .otherwise(col("r_status")))
       .withColumn("http_status", col("r_http").cast("int"))
       .withColumn("processed_wave",
-        when(col("r_status").isin(TerminalStatuses: _*), lit(wave))
+        when(col("r_status").isin(TerminalStatuses: _*), col("r_wave"))
           .otherwise(col("processed_wave")))
       .withColumn("error_message",
         when(col("r_http") =!= 200, col("r_status")).otherwise(lit("")))
-      .withColumn("seq", lit(2L * wave + 1))
+      .withColumn("seq", col("r_wave").cast("long") * 2L + 1L)
       .withColumn("is_update", lit(true))
-      .drop("r_url", "r_status", "r_http")
+      .drop("r_url", "r_status", "r_http", "r_wave")
     val frontierDelta = discovered.unionByName(
       updates.select(FrontierCols.map(col): _*))
 
@@ -440,9 +452,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         }
       }
     val stateObs = org.apache.spark.sql.Observation()
-    val stateToWrite = stateNext.toDF().observe(stateObs,
-      count(when(array_contains(col("rss_failure_waves"), wave), 1)).as("rss_failures"),
+    val stateToWrite = stateNext.toDF().crossJoin(params).observe(stateObs,
+      count(when(array_contains(col("rss_failure_waves"), col("cur_wave")), 1))
+        .as("rss_failures"),
       count(when(col("paused_auto"), 1)).as("paused_sources"))
+      .drop("cur_wave", "cur_seq", "mix_seed")
 
     // per-(source, method) telemetry (A5 surface, telemetry.py:1777-1910)
     val telemObs = org.apache.spark.sql.Observation()
@@ -657,13 +671,15 @@ object CrawlEngine {
     * the whole backlog, and hot-host skew is clipped at the source. The
     * per-host token budget (≤ cap) applies as a residual filter after
     * the window. Ordering: priority desc, discovery wave asc, seeded
-    * 64-bit mix, URL as the total-order tiebreak. PlanSpec asserts the
+    * 64-bit mix, URL as the total-order tiebreak. The per-wave seed
+    * arrives as the `mix_seed` COLUMN (not a literal) so the window
+    * stage's generated code is wave-invariant. PlanSpec asserts the
     * WindowGroupLimit shape. */
-  def rankPerHost(eligible: DataFrame, availHosts: DataFrame, mixSeed: Long): DataFrame = {
+  def rankPerHost(eligible: DataFrame, availHosts: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     eligible
       .join(broadcast(availHosts), col("host") === col("p_host"), "inner")
-      .withColumn("mix", graft.core.functions.mix_key64(mixSeed, col("norm_url")))
+      .withColumn("mix", xxhash64(col("mix_seed"), col("norm_url")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("host")
           .orderBy(col("priority").desc, col("discovered_wave").asc,

@@ -80,10 +80,11 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val eligible = (0 until 2000)
       .map(i => (s"https://h${i % 7}.example/a-$i", s"h${i % 7}.example",
-        i % 32, f"src-${i % 7}%04d", 1, i % 3))
-      .toDF("norm_url", "host", "host_bucket", "source_id", "priority", "discovered_wave")
+        i % 32, f"src-${i % 7}%04d", 1, i % 3, 99L))
+      .toDF("norm_url", "host", "host_bucket", "source_id", "priority",
+        "discovered_wave", "mix_seed")
     val avail = (0 until 7).map(i => (s"h$i.example", 1 + i % 3)).toDF("p_host", "tokens")
-    val df = graft.crawl.CrawlEngine.rankPerHost(eligible, avail, mixSeed = 99L)
+    val df = graft.crawl.CrawlEngine.rankPerHost(eligible, avail)
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("WindowGroupLimit"), s"ranking not group-limited:\n$p")
     assert(p.contains("Partial"), s"no map-side partial group limit:\n$p")
