@@ -655,7 +655,8 @@ object CrawlRelational {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"),
         tsUs(col("ts")).as("ts_us"),
-        (tsUs(col("ts")) / 1000000L).cast("long").as("ts_s"),
+        // integer DIV, not double division: exact at any epoch magnitude
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_s"),
         when(col("event_type") === "error", 1L).otherwise(0L).as("fail"))
     val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val win = Window.partitionBy("user_id").orderBy("ts_s")
@@ -670,14 +671,17 @@ object CrawlRelational {
         (col("streak") >= 3 || col("win_fails") >= 5).as("feed_missing"))
       .orderBy("event_id")
   }
+  // window SUMs are CAST to BIGINT: DuckDB types SUM(int) as HUGEINT,
+  // which the driver's hash path reads as float64 while Spark emits
+  // int64 — the values are identical but the dtype trips the gate
   val sF13 =
     """SELECT event_id, user_id, streak, win_fails,
          (streak >= 3 OR win_fails >= 5) AS feed_missing
        FROM (
          SELECT event_id, user_id, fail,
-           SUM(fail) OVER (PARTITION BY user_id, grp ORDER BY ts_us, event_id) AS streak,
-           SUM(fail) OVER (PARTITION BY user_id ORDER BY ts_s
-                           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS win_fails
+           CAST(SUM(fail) OVER (PARTITION BY user_id, grp ORDER BY ts_us, event_id) AS BIGINT) AS streak,
+           CAST(SUM(fail) OVER (PARTITION BY user_id ORDER BY ts_s
+                           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_fails
          FROM (
            SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch(ts)::BIGINT AS ts_s,
              CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fail,

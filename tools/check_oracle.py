@@ -24,6 +24,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        # normalize integer WIDTH (the driver hashes int32/int64 alike)
+        # but keep int-vs-float strict: DuckDB HUGEINT reads back as
+        # float64 and DID hash-mismatch Spark int64 in CORRECTNESS_r02
+        elif pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c].dtype):
+            df[c] = df[c].astype("float64")
     return df.reset_index(drop=True)
 
 fails, passes = [], []
@@ -44,7 +51,10 @@ for q, sql in sorted(oracle.items()):
     g = got.sort_values(list(got.columns)).reset_index(drop=True)
     w = want.sort_values(list(want.columns)).reset_index(drop=True)
     try:
-        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+        # dtype-EXACT: the driver's hash path is dtype-sensitive (a DuckDB
+        # HUGEINT reads back as float64 and hash-mismatches Spark's int64
+        # even when values are identical) — the local gate must predict it
+        pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=False, rtol=0, atol=1e-9)
         passes.append(q)
     except AssertionError as e:
         fails.append((q, str(e).split("\n")[0] + " | " + "\n".join(str(e).split("\n")[1:4])))
