@@ -22,8 +22,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // crawl first (it also warms the session); its wall-clock is the
-    // urls/sec headline
+    // untimed JIT/codegen warm-up on a toy world (same protocol as
+    // ScalingChild): the wave plans are wave-invariant parameter-column
+    // stages, so one tiny crawl primes the codegen cache for the real
+    // one — the headline then measures the engine, not Janino
+    scala.util.Try {
+      val warm = new graft.store.SnapshotStore(
+        java.nio.file.Files.createTempDirectory("graft-warm").toString)
+      new graft.crawl.CrawlEngine(spark,
+        graft.synth.Synth.Config(nHosts = 20, urlsPerHostPerWave = 10, nWaves = 2),
+        warm).run()
+    }
+
+    // crawl first; its wall-clock is the urls/sec headline
     val crawlT0 = System.nanoTime()
     val crawlRows = scala.util.Try(
       SparkEntry.queries("q_crawl_results")(spark, sfDir).count()).getOrElse(-1L)

@@ -72,39 +72,54 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 
   def init(): Unit = {
     if (store.lastCommittedWave() >= 0) return // resume — keep state
-    val sources = Synth.sources(spark, cfg)
-    store.write(sources.toDF().coalesce(hostFiles), "sources", wave = -1,
-      lineage = "synth seed registry")
-    val robots = spark.range(cfg.nHosts).map { i =>
-      val idx = i.toInt
-      RobotsHost(Synth.hostName(idx), Synth.crawlDelayOf(idx),
-        Synth.robotsRulesOf(idx).map { case (p, a) => RulePrefix(p, a) })
-    }
-    store.write(robots.toDF().coalesce(hostFiles), "robots", wave = -1,
-      lineage = "synth robots, longest-match-sorted (allow wins ties)")
+    // the 9 init snapshots touch disjoint tables — write them as
+    // concurrent Spark jobs (each is a tiny host-cardinality or empty
+    // write; sequential, their fixed per-job latency dominates startup)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val ws = cfg.waveSeconds
-    val pol = spark.range(cfg.nHosts).map { i =>
-      val idx = i.toInt
-      Politeness.initial(Synth.hostName(idx), Synth.sensitivityOf(idx),
-        Synth.crawlDelayOf(idx), ws)
-    }
-    store.write(pol.toDF().coalesce(hostFiles), "politeness", wave = -1,
-      lineage = "sensitivity ladder init")
-    val state = spark.range(cfg.nHosts).map { i =>
-      val idx = i.toInt
-      SourceRules.initial(f"src-$idx%04d", Synth.hostName(idx))
-    }
-    store.write(state.toDF().coalesce(hostFiles), "source_state", wave = -1,
-      lineage = "discovery state init")
-    // bucketed tables start as empty bucketed snapshots (schema pin only)
-    store.writeBucketed(spark.emptyDataset[FrontierRow].toDF(), "frontier",
-      wave = -1, bucketCol = "host_bucket")
-    store.writeBucketed(spark.emptyDataset[SeenKey].toDF(), "seen",
-      wave = -1, bucketCol = "host_bucket")
-    store.writeBucketed(spark.emptyDataset[BloomRow].toDF(), "seen_bloom",
-      wave = -1, bucketCol = "bucket")
-    store.write(spark.emptyDataset[FetchResult].toDF(), "results", wave = -1)
-    store.write(spark.emptyDataset[TelemetryRow].toDF(), "telemetry", wave = -1)
+    val writes = Seq(
+      Future {
+        store.write(Synth.sources(spark, cfg).toDF().coalesce(hostFiles),
+          "sources", wave = -1, lineage = "synth seed registry")
+      },
+      Future {
+        val robots = spark.range(cfg.nHosts).map { i =>
+          val idx = i.toInt
+          RobotsHost(Synth.hostName(idx), Synth.crawlDelayOf(idx),
+            Synth.robotsRulesOf(idx).map { case (p, a) => RulePrefix(p, a) })
+        }
+        store.write(robots.toDF().coalesce(hostFiles), "robots", wave = -1,
+          lineage = "synth robots, longest-match-sorted (allow wins ties)")
+      },
+      Future {
+        val pol = spark.range(cfg.nHosts).map { i =>
+          val idx = i.toInt
+          Politeness.initial(Synth.hostName(idx), Synth.sensitivityOf(idx),
+            Synth.crawlDelayOf(idx), ws)
+        }
+        store.write(pol.toDF().coalesce(hostFiles), "politeness", wave = -1,
+          lineage = "sensitivity ladder init")
+      },
+      Future {
+        val state = spark.range(cfg.nHosts).map { i =>
+          val idx = i.toInt
+          SourceRules.initial(f"src-$idx%04d", Synth.hostName(idx))
+        }
+        store.write(state.toDF().coalesce(hostFiles), "source_state", wave = -1,
+          lineage = "discovery state init")
+      },
+      // bucketed tables start as empty bucketed snapshots (schema pin only)
+      Future(store.writeBucketed(spark.emptyDataset[FrontierRow].toDF(), "frontier",
+        wave = -1, bucketCol = "host_bucket")),
+      Future(store.writeBucketed(spark.emptyDataset[SeenKey].toDF(), "seen",
+        wave = -1, bucketCol = "host_bucket")),
+      Future(store.writeBucketed(spark.emptyDataset[BloomRow].toDF(), "seen_bloom",
+        wave = -1, bucketCol = "bucket")),
+      Future(store.write(spark.emptyDataset[FetchResult].toDF(), "results", wave = -1)),
+      Future(store.write(spark.emptyDataset[TelemetryRow].toDF(), "telemetry", wave = -1)))
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   private val trace = sys.env.get("GRAFT_TRACE").contains("1")
@@ -221,9 +236,17 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // The Bloom bank stays a bucket-keyed table evaluated executor-side;
     // the driver never holds it.
     val blooms = store.readBuckets(spark, "seen_bloom", touched).as[BloomRow]
+    // F7 invariant the bucket pruning DEPENDS on: every candidate's host
+    // equals a due source's host, so its bucket is in `touched`. If a
+    // scope rule ever admitted a cross-host link, an untouched bucket's
+    // Bloom filter would silently be replaced by a fresh empty one —
+    // fail fast instead of corrupting the seen layer.
+    val touchedSet = touched.toSet
     val checked: Dataset[(CandRow, Boolean)] = candidates
       .groupByKey(_.host_bucket)
-      .cogroup(blooms.groupByKey(_.bucket)) { (_, cs, bs) =>
+      .cogroup(blooms.groupByKey(_.bucket)) { (b, cs, bs) =>
+        require(touchedSet.contains(b),
+          s"candidate bucket $b outside the wave's touched set $touchedSet")
         val best = new java.util.HashMap[String, CandRow]()
         cs.foreach { c =>
           val prev = best.get(c.norm_url)
@@ -306,34 +329,43 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // joined in — broadcast under AQE at working scales, plain join
     // fallback beyond. not_article/wire/robots_blocked rows are never
     // updated and never eligible, so they skip the plan path entirely.
-    val log = store.read(spark, "frontier")
+    // The scan is PRUNED to the buckets of politeness-available hosts
+    // (manifest file pruning, like the seen/bloom scans): only hosts
+    // with tokens this wave can be planned, so no other bucket's
+    // backlog is read, and nothing is cached — the only materialized
+    // plan product is the (≤ tokens·hosts)-row planned set below.
+    val waveSec = cfg.waveSeconds
+    // (host, tokens) is host-cardinality and is ALREADY broadcast into
+    // the ranking join — collecting it once costs the same bytes the
+    // broadcast would ship anyway, and gives the bucket set for the
+    // manifest-pruned backlog scan without a second job
+    val availArr = politeness
+      .filter(st => Politeness.available(st, wave, waveSec))
+      .map(st => (st.host, st.tokens_per_wave))
+      .collect()
+    val availHosts = availArr.toSeq.toDF("p_host", "tokens")
+    val availBuckets: Seq[Int] =
+      availArr.map(h => gf.hostBucketJvm(h._1, nb)).distinct.toSeq.sorted
+    val log = store.readBuckets(spark, "frontier", availBuckets)
     val dRows = log
       .filter(!col("is_update") && col("status").isin("article", "404"))
       .unionByName(discovered.filter(col("status") === "article"))
-    val latestU = mergeLog(log.filter(col("is_update")))
-      .select(col("norm_url").as("u_url"), col("status").as("u_status"),
-        col("http_status").as("u_http"), col("processed_wave").as("u_processed"),
-        col("error_message").as("u_error"))
-    val latestEligible = dRows
-      .join(latestU, col("norm_url") === col("u_url"), "left")
-      .withColumn("status", coalesce(col("u_status"), col("status")))
-      .withColumn("http_status", coalesce(col("u_http"), col("http_status")))
-      .withColumn("processed_wave", coalesce(col("u_processed"), col("processed_wave")))
-      .withColumn("error_message", coalesce(col("u_error"), col("error_message")))
-      .drop("u_url", "u_status", "u_http", "u_processed", "u_error")
+    val eligible = foldLog(dRows, log.filter(col("is_update")))
       .crossJoin(params)
       .filter(col("status") === "article" ||
         (col("status") === "404" &&
           col("cur_wave") - col("processed_wave") >= lit(cfg.deadUrlTtlWaves)))
       .drop("cur_wave", "cur_seq")
-      .cache()
 
-    val waveSec = cfg.waveSeconds
-    val availHosts = politeness
-      .filter(st => Politeness.available(st, wave, waveSec))
-      .map(st => (st.host, st.tokens_per_wave))
-      .toDF("p_host", "tokens")
-    val planned = rankPerHost(latestEligible, availHosts).as[Planned]
+    // planned rows keep ALL frontier columns (+ rank): the fetch maps a
+    // narrow projection and the outcome updates join back against this
+    // same small cached set — the backlog is scanned exactly once per
+    // wave and never cached.
+    val plannedWide = rankPerHost(eligible, availHosts).cache()
+    val planned = plannedWide
+      .select(col("norm_url"), col("host"), col("host_bucket"),
+        col("source_id"), col("rank"))
+      .as[Planned]
 
     // ---- 6. fetch (X2 cascade executor; X4 content typing) ----
     val results = planned.map { p =>
@@ -352,7 +384,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val out = results.toDF().select(col("norm_url").as("r_url"),
       col("status").as("r_status"), col("http_status").as("r_http"),
       col("wave").as("r_wave"))
-    val updates = latestEligible
+    val updates = plannedWide.drop("rank")
       .join(broadcast(out), col("norm_url") === col("r_url"), "inner")
       .withColumn("status",
         when(col("r_status").isin("429", "timeout", "captcha"), col("status")) // stay retryable
@@ -565,9 +597,12 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 
     // amortized maintenance: compact the delta log back to one row per
     // URL so merge-on-read input stays bounded (Iceberg-style MoR
-    // compaction). Runs after the commit; a crash before the next
-    // commit rolls it back harmlessly.
-    if (cfg.compactEvery > 0 && (wave + 1) % cfg.compactEvery == 0 && wave + 1 < cfg.nWaves) {
+    // compaction). Runs after the commit (a crash before the next
+    // commit rolls it back harmlessly) on the cadence AND after the
+    // final wave, so post-run readers (status counts, exports) see one
+    // row per URL instead of paying the update fold.
+    if (cfg.compactEvery > 0 &&
+      ((wave + 1) % cfg.compactEvery == 0 || wave + 1 == cfg.nWaves)) {
       timed("compact_frontier", wave) {
         // compacted rows become snapshot rows (is_update=false): the
         // plan pre-filter then excludes terminal rows from the merge
@@ -580,7 +615,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     }
 
     due.unpersist(); checked.unpersist(); gatedDelta.unpersist()
-    latestEligible.unpersist(); results.unpersist(); perSource.unpersist()
+    plannedWide.unpersist(); results.unpersist(); perSource.unpersist()
     metrics
   }
 
@@ -685,11 +720,14 @@ object CrawlEngine {
           .orderBy(col("priority").desc, col("discovered_wave").asc,
             col("mix").asc, col("norm_url").asc)))
       .filter(col("rn") <= Politeness.MaxPerDomainPerWave && col("rn") <= col("tokens"))
-      .select(col("norm_url"), col("host"), col("host_bucket"),
-        col("source_id"), col("rn").as("rank"))
+      .drop("p_host", "tokens", "mix")
+      .withColumnRenamed("rn", "rank") // all input columns preserved + rank
   }
 
-  /** Merge-on-read: latest (max-seq) version of every URL in the log. */
+  /** Merge-on-read: latest (max-seq) version of every URL in the log.
+    * Only ever applied to the UPDATE partition of the log (bounded by
+    * rows planned since the last compaction) — never to the full log,
+    * whose bytes would all shuffle through the aggregation buffer. */
   def mergeLog(logDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     logDf.groupBy("norm_url")
@@ -697,9 +735,39 @@ object CrawlEngine {
       .select(FrontierCols.map(c => col(s"r.$c")): _*)
   }
 
-  /** The frontier's current state (one row per URL) — queries/tests. */
-  def frontierCurrent(spark: SparkSession, store: SnapshotStore): DataFrame =
-    mergeLog(store.read(spark, "frontier"))
+  /** Fold the (small, merged) update log over the immutable discovery /
+    * compacted rows: a URL's non-update row is written once, so the
+    * current state is its row overlaid with its latest update's mutable
+    * fields. The big side is scanned, never shuffled; the update side
+    * is broadcast under AQE at working scales. */
+  def foldLog(dRows: DataFrame, updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val u = mergeLog(updates).select(
+      col("norm_url").as("u_url"), col("status").as("u_status"),
+      col("http_status").as("u_http"), col("processed_wave").as("u_processed"),
+      col("error_message").as("u_error"), col("seq").as("u_seq"))
+    dRows
+      .join(u, col("norm_url") === col("u_url"), "left")
+      .withColumn("status", coalesce(col("u_status"), col("status")))
+      .withColumn("http_status", coalesce(col("u_http"), col("http_status")))
+      .withColumn("processed_wave", coalesce(col("u_processed"), col("processed_wave")))
+      .withColumn("error_message", coalesce(col("u_error"), col("error_message")))
+      .withColumn("seq", coalesce(col("u_seq"), col("seq")))
+      .drop("u_url", "u_status", "u_http", "u_processed", "u_error", "u_seq")
+  }
+
+  /** The frontier's current state (one row per URL) — queries/tests.
+    * The update-log fold, NOT a full-log mergeLog: merge-on-read cost
+    * is O(updates since last compaction), not O(frontier). Snapshot
+    * view: is_update is a log-encoding artifact, normalized to false
+    * (the same form compaction writes). */
+  def frontierCurrent(spark: SparkSession, store: SnapshotStore): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val log = store.read(spark, "frontier")
+    foldLog(log.filter(!col("is_update")), log.filter(col("is_update")))
+      .withColumn("is_update", lit(false))
+      .select(FrontierCols.map(col): _*)
+  }
 
   /** RFC 9309 longest-match allow decision over pre-sorted rules (pure;
     * shared with the oracle — mirrors the HOF expression in the gate). */

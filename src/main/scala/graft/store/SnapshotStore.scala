@@ -120,6 +120,16 @@ final class SnapshotStore(val root: String) {
 
   private def physicalWrite(df: DataFrame, table: String, next: Int,
                             bucketCol: Option[String]): FileMap = {
+    // the first write pins the table schema; every later write must
+    // match it (name + type, nullability-insensitive) — reads apply the
+    // pinned schema, so silent drift would silently drop/null columns
+    if (Files.exists(schemaPath(table))) {
+      def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+      val pinned = tableSchema(table)
+      require(shape(df.schema) == shape(pinned),
+        s"schema drift for table '$table': writing ${df.schema.simpleString}, " +
+          s"pinned ${pinned.simpleString}")
+    }
     val dir = tableDir(table).resolve(f"snap-$next%05d")
     bucketCol match {
       case Some(c) =>

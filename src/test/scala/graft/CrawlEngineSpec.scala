@@ -252,6 +252,42 @@ class CrawlEngineSpec extends AnyFunSuite {
       engineStore.currentFiles("seen")(b).toSet)
   }
 
+  test("update-log fold equals full-log merge-on-read (pre-compaction)") {
+    import org.apache.spark.sql.functions.col
+    // frontierCurrent folds only the update partition over the immutable
+    // discovery rows; on an uncompacted log it must equal the brute
+    // max-seq merge of the WHOLE log (the O(frontier)-shuffle form it
+    // replaced)
+    val store2 = freshStore()
+    val e = new CrawlEngine(spark, cfg, store2)
+    e.init(); e.runWave(0); e.runWave(1) // compactEvery=3 → still raw log
+    val log = store2.read(spark, "frontier")
+    assert(log.filter(col("is_update")).count() > 0, "no update rows to fold")
+    // state columns only: is_update is a log-encoding artifact (the fold
+    // view normalizes it to false; the brute merge keeps the winner's)
+    val stateCols = CrawlEngine.FrontierCols.filterNot(_ == "is_update")
+    val a = CrawlEngine.frontierCurrent(spark, store2)
+      .select(stateCols.map(col): _*)
+      .collect().map(_.toString).sorted
+    val b = CrawlEngine.mergeLog(log)
+      .select(stateCols.map(col): _*)
+      .collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("plan scan is bucket-pruned: frontier readBuckets reads only those buckets' files") {
+    // the wave's plan path reads store.readBuckets("frontier", availBuckets)
+    // — a strict bucket subset must touch exactly that subset's files
+    val files = engineStore.currentFiles("frontier")
+    val buckets = files.keySet.filter(_ >= 0)
+    assert(buckets.size > 1, s"world too small to test pruning: $buckets")
+    val subset = buckets.toSeq.sorted.take(buckets.size / 2)
+    val pruned = engineStore.readBuckets(spark, "frontier", subset)
+    val expected = subset.flatMap(b => files.getOrElse(b, Seq.empty)).toSet
+    assert(pruned.inputFiles.map(f => new java.net.URI(f).getPath).toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("time travel: wave-0 frontier snapshot is readable and smaller") {
     val pins0 = engineStore.wavePins(0)
     val f0 = engineStore.readSnapshot(spark, "frontier", pins0("frontier")).count()
