@@ -152,7 +152,9 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val state = store.read(spark, "source_state").as[SourceState]
     val robots = store.read(spark, "robots")
 
-    // ---- 1. due sources (F11 + F12 gates, join-based — no driver map)
+    // ---- 1. due sources (F11 + F12 gates, join-based — no driver map);
+    // the A5 method order is decided here from the per-source
+    // effectiveness telemetry carried in source_state
     val due = sources
       .joinWith(state, sources("source_id") === state("source_id"), "inner")
       .filter((t: (Source, SourceState)) =>
@@ -162,6 +164,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         DueSource(s.source_id, s.host_norm, s.frequency,
           s.source_id.stripPrefix("src-").toInt,
           SourceRules.rssSkipped(st, s.frequency, wave),
+          SourceRules.effectiveMethods(st),
           st.discovered_sections)
       }.cache()
 
@@ -170,37 +173,25 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val touched: Seq[Int] =
       due.map(d => gf.hostBucketJvm(d.host_norm, nb)).distinct().collect().toSeq.sorted
 
-    // ---- 2. discovery: per-source method cascade (S5/S6/S13 + U1) ----
-    // RSS first; if it yields ≥ max/2 links the remaining methods are
-    // skipped (source_processing.py:624-677); the supplemental section
-    // crawl runs for every source with discovered sections.
+    // ---- 2. discovery: per-source method cascade (S5/S6/S13 + U1 +
+    // A5) ---- methods run in the effectiveness-gated attempt order
+    // carried on DueSource; a healthy RSS yield ≥ max/2 short-circuits
+    // methods not yet attempted (source_processing.py:624-677); the
+    // supplemental section crawl runs for every source with discovered
+    // sections. The cascade itself is the SHARED SourceRules.cascade
+    // kernel (engine flatMap + dueFacts + oracle — one definition).
     // lineage strings (M5) are NOT built here: the expansion carries
-    // (method_rank, slot, section) ints and the discovered_by label is
-    // assembled by a codegen concat only for rows that survive the
-    // F-chain + dedup + seen check — deferred formatting keeps ~50
+    // (method_rank, attempt, slot, section) ints and the discovered_by
+    // label is assembled by a codegen concat only for rows that survive
+    // the F-chain + dedup + seen check — deferred formatting keeps ~50
     // bytes/row out of the hottest shuffle.
     val raw = due.repartition(spark.sparkContext.defaultParallelism).flatMap { d =>
-      val c = cfgB.value
-      val out = scala.collection.mutable.ArrayBuffer.empty[RawLink]
-      val rssLinks =
-        if (d.rss_skip) Seq.empty
-        else Synth.rssLinks(c)(d.host_idx, wave).getOrElse(Seq.empty)
-      rssLinks.foreach { case (url, slot) =>
-        out += RawLink(d.source_id, d.host_norm, url, 0, slot, null)
+      SourceRules.cascade(cfgB.value)(d.host_idx, wave, d.methods,
+        d.rss_skip, d.sections).links.map { l =>
+        RawLink(d.source_id, d.host_norm, l.url, l.methodRank, l.attempt,
+          l.slot, l.section)
       }
-      val shortCircuit = rssLinks.size >= c.urlsPerHostPerWave / 2
-      if (!shortCircuit) {
-        Synth.homepageLinks(c)(d.host_idx, wave).foreach { case (url, slot) =>
-          out += RawLink(d.source_id, d.host_norm, url, 1, slot, null)
-        }
-      }
-      d.sections.foreach { sec =>
-        Synth.sectionLinks(c)(d.host_idx, wave, sec).foreach { case (url, k) =>
-          out += RawLink(d.source_id, d.host_norm, url, 2, k, sec)
-        }
-      }
-      out
-    }.toDF("source_id", "src_host", "url", "method_rank", "slot", "section")
+    }.toDF("source_id", "src_host", "url", "method_rank", "attempt", "slot", "section")
 
     // F-chain with a single outcome tag; metrics ride the first action
     // via observe() — no separate counting job (A7)
@@ -224,14 +215,14 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 
     val candidates = normalized
       .filter(col("outcome") === "ok")
-      .select(col("norm_url"), col("method_rank"), col("url"), col("source_id"),
-        col("host"), col("pub_day"), col("slot"), col("section"))
+      .select(col("norm_url"), col("method_rank"), col("attempt"), col("url"),
+        col("source_id"), col("host"), col("pub_day"), col("slot"), col("section"))
       .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(nb.toLong)).cast("int"))
       .as[CandRow]
 
     // ---- 3. W2/U1 + J6/X5 in ONE bucket shuffle: norm_url → host →
     // bucket is functional, so the batch dedup (keep the min
-    // (method_rank, url) occurrence — method-cascade order) can run
+    // (attempt, url) occurrence — this wave's A5 attempt order) can run
     // inside the bucket cogroup that also evaluates the Bloom screen.
     // The Bloom bank stays a bucket-keyed table evaluated executor-side;
     // the driver never holds it.
@@ -250,8 +241,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         val best = new java.util.HashMap[String, CandRow]()
         cs.foreach { c =>
           val prev = best.get(c.norm_url)
-          if (prev == null || c.method_rank < prev.method_rank ||
-            (c.method_rank == prev.method_rank && c.url < prev.url))
+          if (prev == null || c.attempt < prev.attempt ||
+            (c.attempt == prev.attempt && c.url < prev.url))
             best.put(c.norm_url, c)
         }
         val bf = bs.nextOption()
@@ -310,7 +301,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val discovered = gatedDelta.crossJoin(params).select(
       col("url"), col("norm_url"), col("host"), col("host_bucket"),
       col("source_id"), col("status"),
-      lit(1).as("priority"), lit(0).as("crawl_depth"),
+      // O6: priority varies by discovering method (Synth.priorityOf)
+      (lit(3) - col("method_rank")).as("priority"), lit(0).as("crawl_depth"),
       discoveredBy.as("discovered_by"), col("cur_wave").as("discovered_wave"),
       lit(-1).as("processed_wave"), lit(0).as("http_status"),
       col("pub_day").as("publish_day"), lit("").as("content_hash"),
@@ -439,17 +431,10 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // (F12/C8), sections (M4), method telemetry; all per-source facts
     // join-assembled, transition via the shared pure kernel
     val dueFacts = due.map { d =>
-      val c = cfgB.value
-      val rssAttempted = !d.rss_skip
-      val rssFailed = rssAttempted && Synth.rssFails(d.host_idx, wave)
-      val rawRss =
-        if (!rssAttempted || rssFailed) 0L else Synth.rssYield(c)(d.host_idx).toLong
-      val shortCircuit = rawRss >= c.urlsPerHostPerWave / 2
-      val rawHomepage =
-        if (shortCircuit) 0L else Synth.homepageLinks(c)(d.host_idx, wave).size.toLong
-      val rawSection = d.sections.size.toLong * c.sectionLinksPerWave
-      DueFacts(d.source_id, rssAttempted, rssFailed, !shortCircuit,
-        rawRss, rawHomepage, rawSection)
+      val run = SourceRules.cascade(cfgB.value)(d.host_idx, wave, d.methods,
+        d.rss_skip, d.sections)
+      DueFacts(d.source_id, run.ranRss, run.rssFailed, run.ranHomepage,
+        run.rawRss, run.rawHomepage, run.rawSection)
     }.toDF()
     // one agg for per-method new counts AND M4 section inference
     val newByMethod = gatedDelta.groupBy("source_id").agg(
@@ -470,12 +455,14 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         val prev = SourceState(j.source_id, j.host, j.last_wave,
           j.rss_consecutive_failures, j.rss_failure_waves, j.rss_missing_wave,
           j.no_effective_consecutive, j.paused_auto, j.last_successful_method,
-          j.discovered_sections)
+          j.discovered_sections,
+          j.rss_attempts, j.rss_successes, j.homepage_attempts, j.homepage_successes)
         j.rss_attempted match {
           case None => prev // not due this wave
-          case Some(att) =>
+          case Some(ranRss) =>
             SourceRules.update(prev, j.frequency,
-              SourceRules.DiscoveryOutcome(att, j.rss_failed.getOrElse(false),
+              SourceRules.DiscoveryOutcome(ranRss, j.rss_failed.getOrElse(false),
+                j.homepage_ran.getOrElse(false),
                 Map(0 -> j.new_rss.getOrElse(0L),
                   1 -> j.new_homepage.getOrElse(0L),
                   2 -> j.new_section.getOrElse(0L)),
@@ -650,13 +637,15 @@ object CrawlEngine {
 
   final case class SeenKey(host_bucket: Int, norm_url: String)
   final case class DueSource(source_id: String, host_norm: String, frequency: String,
-                             host_idx: Int, rss_skip: Boolean, sections: Seq[String])
+                             host_idx: Int, rss_skip: Boolean,
+                             methods: Seq[Int], // A5 attempt order
+                             sections: Seq[String])
   final case class RawLink(source_id: String, src_host: String, url: String,
-                           method_rank: Int, slot: Int, section: String)
+                           method_rank: Int, attempt: Int, slot: Int, section: String)
   // src_host deliberately absent: it dies at the scope check and would
   // otherwise ride the hottest shuffle (the bucket cogroup) for nothing
-  final case class CandRow(norm_url: String, method_rank: Int, url: String,
-                           source_id: String, host: String,
+  final case class CandRow(norm_url: String, method_rank: Int, attempt: Int,
+                           url: String, source_id: String, host: String,
                            pub_day: Int, slot: Int, section: String, host_bucket: Int)
   final case class Planned(norm_url: String, host: String, host_bucket: Int,
                            source_id: String, rank: Int)
@@ -673,7 +662,10 @@ object CrawlEngine {
                              rss_consecutive_failures: Int, rss_failure_waves: Seq[Int],
                              rss_missing_wave: Int, no_effective_consecutive: Int,
                              paused_auto: Boolean, last_successful_method: String,
-                             discovered_sections: Seq[String], frequency: String,
+                             discovered_sections: Seq[String],
+                             rss_attempts: Int, rss_successes: Int,
+                             homepage_attempts: Int, homepage_successes: Int,
+                             frequency: String,
                              rss_attempted: Option[Boolean], rss_failed: Option[Boolean],
                              homepage_ran: Option[Boolean],
                              raw_rss: Option[Long], raw_homepage: Option[Long],

@@ -59,60 +59,52 @@ object CrawlOracle {
         SourceRules.due(state(sid), status, freq, wave)
       }
 
-      // 2. discovery: per-source cascade, order-preserving union dedup
-      // (keep min (method_rank, url) per norm_url within the batch)
-      val batch = mutable.LinkedHashMap.empty[String, (Int, String, FrontRow)]
+      // 2. discovery: the SHARED SourceRules.cascade kernel (A5-gated
+      // attempt order, RSS short-circuit, supplemental sections), then
+      // the order-preserving union dedup (keep min (attempt, url) per
+      // norm_url within the batch — this wave's attempt order)
+      val batch = mutable.LinkedHashMap.empty[String, (Int, Int, String, FrontRow)]
       val outcomes = mutable.Map.empty[String, SourceRules.DiscoveryOutcome]
       due.foreach { case (sid, hostNorm, freq, _, idx) =>
         val st = state(sid)
-        val rssAttempted = !SourceRules.rssSkipped(st, freq, wave)
-        val rssRes = if (rssAttempted) Synth.rssLinks(cfg)(idx, wave) else Some(Seq.empty[(String, Int)])
-        val rssFailed = rssAttempted && rssRes.isEmpty
-        if (rssFailed) rssFailures += 1
-        val rssLinks = if (rssAttempted) rssRes.getOrElse(Seq.empty) else Seq.empty
-        val shortCircuit = rssLinks.size >= cfg.urlsPerHostPerWave / 2
-        val links = mutable.ArrayBuffer.empty[(String, Int, String)] // url, rank, lineage
-        rssLinks.foreach { case (u, s) => links += ((u, 0, s"rss[$hostNorm/w$wave#$s]")) }
-        if (!shortCircuit)
-          Synth.homepageLinks(cfg)(idx, wave).foreach { case (u, s) =>
-            links += ((u, 1, s"homepage[$hostNorm/w$wave#$s]"))
+        val rssSkip = SourceRules.rssSkipped(st, freq, wave)
+        val order = SourceRules.effectiveMethods(st)
+        val run = SourceRules.cascade(cfg)(idx, wave, order, rssSkip,
+          st.discovered_sections)
+        if (run.rssFailed) rssFailures += 1
+        sectionLinks += run.rawSection
+        run.links.foreach { l =>
+          val lineage = l.methodRank match {
+            case 0 => s"rss[$hostNorm/w$wave#${l.slot}]"
+            case 1 => s"homepage[$hostNorm/w$wave#${l.slot}]"
+            case _ => s"section_crawl[$hostNorm/${l.section}/w$wave#${l.slot}]"
           }
-        st.discovered_sections.foreach { sec =>
-          Synth.sectionLinks(cfg)(idx, wave, sec).foreach { case (u, k) =>
-            links += ((u, 2, s"section_crawl[$hostNorm/$sec/w$wave#$k]"))
-            sectionLinks += 1
-          }
-        }
-        val newByMethod = mutable.Map(0 -> 0L, 1 -> 0L, 2 -> 0L)
-        val sectionsFound = mutable.ArrayBuffer.empty[String]
-        links.foreach { case (url, rank, lineage) =>
+          val url = l.url
           val norm = UrlKernels.normalizeUrl(url)
           val host = UrlKernels.canonicalHost(url)
           val pubDay = Synth.idOf(norm).map(Synth.publishDay(cfg)).getOrElse(-1)
+          def row = FrontRow(norm, host, sid, "discovered",
+            Synth.priorityOf(l.methodRank), wave, -1, 0, lineage, pubDay)
           if (!UrlKernels.isValidUrl(url)) ()
           else if (host != hostNorm) outOfScope += 1
           else if (!UrlKernels.passesSkipPatterns(url)) filtered += 1
           else if (pubDay != -1 && pubDay < cfg.nowDay - cfg.recencyDays) expired += 1
           else batch.get(norm) match {
-            case Some((prevRank, prevUrl, _)) => // W2/U1: keep min(rank, url)
+            case Some((prevAttempt, _, prevUrl, _)) => // W2/U1: keep min(attempt, url)
               duplicates += 1
-              if (rank < prevRank || (rank == prevRank && url < prevUrl)) {
-                batch(norm) = (rank, url,
-                  FrontRow(norm, host, sid, "discovered", 1, wave, -1, 0, lineage, pubDay))
-              }
+              if (l.attempt < prevAttempt || (l.attempt == prevAttempt && url < prevUrl))
+                batch(norm) = (l.attempt, l.methodRank, url, row)
             case None =>
               if (frontier.contains(norm)) duplicates += 1
-              else batch(norm) = (rank, url,
-                FrontRow(norm, host, sid, "discovered", 1, wave, -1, 0, lineage, pubDay))
+              else batch(norm) = (l.attempt, l.methodRank, url, row)
           }
         }
-        outcomes(sid) = SourceRules.DiscoveryOutcome(rssAttempted, rssFailed,
-          Map.empty, Seq.empty) // method news + sections filled below
-        // placeholder; replaced after batch admission below
+        outcomes(sid) = SourceRules.DiscoveryOutcome(run.ranRss, run.rssFailed,
+          run.ranHomepage, Map.empty, Seq.empty) // method news + sections filled below
       }
 
       // admit batch; verification + robots gate on the new rows only
-      batch.foreach { case (norm, (rank, _, row)) =>
+      batch.foreach { case (norm, (_, _, _, row)) =>
         row.status =
           if (norm.toLowerCase.contains("/wire/")) "wire"
           else if (!UrlKernels.isLikelyArticleUrl(norm)) "not_article"
@@ -126,17 +118,17 @@ object CrawlOracle {
           }
         }
         frontier(norm) = row
-        val _ = rank
       }
       val discovered = batch.size.toLong
 
-      // per-(source, method) new counts + sections found (M4)
+      // per-(source, method) new counts + sections found (M4) — keyed by
+      // the KEPT occurrence's method, as the engine's gatedDelta agg is
       val newByMethodPerSource = mutable.Map.empty[String, mutable.Map[Int, Long]]
       val sectionsPerSource = mutable.Map.empty[String, mutable.Set[String]]
-      batch.foreach { case (norm, (rank, _, row)) =>
+      batch.foreach { case (norm, (_, methodRank, _, row)) =>
         val m = newByMethodPerSource.getOrElseUpdate(row.sourceId,
           mutable.Map(0 -> 0L, 1 -> 0L, 2 -> 0L))
-        m(rank) = m(rank) + 1
+        m(methodRank) = m(methodRank) + 1
         val sec = "/sections/([a-z]+)$".r.findFirstMatchIn(norm).map(_.group(1))
         sec.foreach(s => sectionsPerSource.getOrElseUpdate(row.sourceId,
           mutable.Set.empty) += s)

@@ -22,13 +22,21 @@ import graft.synth.Synth
   *    (source_processing.py:301-380).
   *  - M4 discovered sections accumulate monotonically
   *    (source_processing.py:461-619).
+  *  - A5 effectiveness-gated method selection: per-(source,method)
+  *    attempt/success telemetry is CONSUMED to decide which discovery
+  *    methods even run (source_processing.py:369-440 via
+  *    telemetry.py:1777-1910 — `success_rate > 50 ∧ articles > 0 ∧
+  *    attempts ≥ 2` proves a method; proven methods preempt the rest;
+  *    the last successful method is always attempted first,
+  *    tests/test_prioritization.py:14-48).
   */
 object SourceRules {
 
   /** What one wave's discovery did for one due source. */
   final case class DiscoveryOutcome(
-      rssAttempted: Boolean,
+      ranRss: Boolean, // rss actually ran (not A5-gated, not F13-skipped)
       rssFailed: Boolean,
+      ranHomepage: Boolean, // homepage ran (not gated, not short-circuited)
       newByMethod: Map[Int, Long], // method_rank (0=rss,1=homepage,2=section) → new urls
       sectionsFound: Seq[String])
 
@@ -39,7 +47,9 @@ object SourceRules {
       rss_consecutive_failures = 0, rss_failure_waves = Seq.empty,
       rss_missing_wave = -1, no_effective_consecutive = 0,
       paused_auto = false, last_successful_method = "",
-      discovered_sections = Seq.empty)
+      discovered_sections = Seq.empty,
+      rss_attempts = 0, rss_successes = 0,
+      homepage_attempts = 0, homepage_successes = 0)
 
   /** Is the source due at `wave` (F11 predicate + F12 pause gate)? */
   def due(st: SourceState, sourceStatus: String, frequency: String, wave: Int): Boolean =
@@ -54,14 +64,99 @@ object SourceRules {
     st.rss_missing_wave >= 0 &&
       wave < st.rss_missing_wave + UrlKernels.rssRetryWindowDays(frequency)
 
+  /** A5: the discovery methods to attempt this wave, in attempt order.
+    * A method is PROVEN once `attempts ≥ 2 ∧ successes > 0 ∧
+    * success_rate > 50%` (telemetry.py:1871-1881); when any method is
+    * proven, ONLY proven methods run (ordered by success rate desc,
+    * method rank as the tie-break), else every method runs
+    * (source_processing.py:404-421's try-all fallback). The last
+    * successful method is moved to the front
+    * (`_prioritize_last_success`, source_processing.py:407-440).
+    * Success here = the method yielded NEW urls that wave (the rebuild's
+    * articles_found analogue). Section crawl is supplemental (driven by
+    * discovered_sections), not part of the gated cascade. */
+  def effectiveMethods(st: SourceState): Seq[Int] = {
+    def stats(m: Int): (Int, Int) =
+      if (m == 0) (st.rss_attempts, st.rss_successes)
+      else (st.homepage_attempts, st.homepage_successes)
+    val proven = Seq(0, 1).filter { m =>
+      val (a, s) = stats(m)
+      a >= 2 && s > 0 && s * 2 > a
+    }
+    val base =
+      if (proven.isEmpty) Seq(0, 1)
+      else proven.sortBy { m => val (a, s) = stats(m); (-(s.toDouble / a), m) }
+    Seq(0, 1).find(m => MethodNames(m) == st.last_successful_method &&
+        base.contains(m)) match {
+      case Some(m) => m +: base.filterNot(_ == m)
+      case None => base
+    }
+  }
+
+  /** One discovered link as the cascade emits it: `attempt` is the
+    * method's position in this wave's attempt order (the in-batch dedup
+    * preference, W2/U1); `methodRank` the method identity (lineage,
+    * telemetry, priority). Sections always carry attempt = 2. */
+  final case class CascadeLink(url: String, methodRank: Int, attempt: Int,
+                               slot: Int, section: String)
+  final case class CascadeRun(links: IndexedSeq[CascadeLink],
+                              ranRss: Boolean, rssFailed: Boolean,
+                              ranHomepage: Boolean,
+                              rawRss: Long, rawHomepage: Long, rawSection: Long)
+
+  /** One due source's discovery cascade (S5/S6/S13 + U1 + A5): run the
+    * A5-selected methods in attempt order; a healthy RSS yield ≥ max/2
+    * short-circuits every method not yet attempted
+    * (source_processing.py:624-677); the supplemental section crawl
+    * always runs for already-discovered sections (discovery.py:647-997).
+    * Shared verbatim by the Spark engine (discovery flatMap + dueFacts)
+    * and the oracle — a single definition of what one source does. */
+  def cascade(cfg: Synth.Config)(hostIdx: Int, wave: Int, order: Seq[Int],
+              rssSkip: Boolean, sections: Seq[String]): CascadeRun = {
+    val out = IndexedSeq.newBuilder[CascadeLink]
+    var ranRss = false; var rssFailed = false; var ranHomepage = false
+    var rawRss = 0L; var rawHomepage = 0L
+    var stop = false
+    order.zipWithIndex.foreach { case (m, attempt) =>
+      if (!stop) m match {
+        case 0 =>
+          if (!rssSkip) { // F13 retry window: skipped ≠ attempted
+            ranRss = true
+            Synth.rssLinks(cfg)(hostIdx, wave) match {
+              case None => rssFailed = true
+              case Some(ls) =>
+                rawRss = ls.size.toLong
+                ls.foreach { case (u, s) => out += CascadeLink(u, 0, attempt, s, null) }
+                if (rawRss >= cfg.urlsPerHostPerWave / 2) stop = true
+            }
+          }
+        case 1 =>
+          ranHomepage = true
+          val ls = Synth.homepageLinks(cfg)(hostIdx, wave)
+          rawHomepage = ls.size.toLong
+          ls.foreach { case (u, s) => out += CascadeLink(u, 1, attempt, s, null) }
+        case _ => ()
+      }
+    }
+    var rawSection = 0L
+    sections.foreach { sec =>
+      Synth.sectionLinks(cfg)(hostIdx, wave, sec).foreach { case (u, k) =>
+        out += CascadeLink(u, 2, 2, k, sec)
+        rawSection += 1
+      }
+    }
+    CascadeRun(out.result(), ranRss, rssFailed, ranHomepage,
+      rawRss, rawHomepage, rawSection)
+  }
+
   /** State transition after a due wave's discovery. */
   def update(st: SourceState, frequency: String, o: DiscoveryOutcome,
              wave: Int): SourceState = {
-    // F13 ledger
+    // F13 ledger (only waves where rss actually ran are ledger events)
     var consec = st.rss_consecutive_failures
     var failures = st.rss_failure_waves
     var missing = st.rss_missing_wave
-    if (o.rssAttempted) {
+    if (o.ranRss) {
       if (o.rssFailed) {
         consec += 1
         failures = (failures :+ wave).filter(_ > wave - Synth.RssWindowWaves)
@@ -73,6 +168,13 @@ object SourceRules {
         failures = failures.filter(_ > wave - Synth.RssWindowWaves)
       }
     }
+    // A5 effectiveness accumulation (attempt = method ran; success = it
+    // yielded new URLs) — consumed by effectiveMethods next wave
+    def bump(ran: Boolean, m: Int, a: Int, s: Int): (Int, Int) =
+      if (!ran) (a, s)
+      else (a + 1, s + (if (o.newByMethod.getOrElse(m, 0L) > 0) 1 else 0))
+    val (ra, rs) = bump(o.ranRss, 0, st.rss_attempts, st.rss_successes)
+    val (ha, hs) = bump(o.ranHomepage, 1, st.homepage_attempts, st.homepage_successes)
     // F12 counter + C8 adaptive threshold
     val totalNew = o.newByMethod.values.sum
     val noEff = if (totalNew == 0) st.no_effective_consecutive + 1 else 0
@@ -90,6 +192,10 @@ object SourceRules {
       paused_auto = paused,
       last_successful_method = lastOk,
       discovered_sections =
-        (st.discovered_sections ++ o.sectionsFound).distinct.sorted)
+        (st.discovered_sections ++ o.sectionsFound).distinct.sorted,
+      rss_attempts = ra,
+      rss_successes = rs,
+      homepage_attempts = ha,
+      homepage_successes = hs)
   }
 }

@@ -61,7 +61,14 @@ case class SourceState(
     no_effective_consecutive: Int, // F12 counter
     paused_auto: Boolean, // F12 adaptive-threshold auto-pause
     last_successful_method: String, // "" until a method yields new URLs
-    discovered_sections: Seq[String]) // M4 inference output, drives S13
+    discovered_sections: Seq[String], // M4 inference output, drives S13
+    // A5 method-effectiveness telemetry, CONSUMED for method selection
+    // (attempts = waves the method actually ran; success = it yielded
+    // new URLs that wave; reference telemetry.py:1777-1910)
+    rss_attempts: Int,
+    rss_successes: Int,
+    homepage_attempts: Int,
+    homepage_successes: Int)
 
 /** Per-(wave, source, method) discovery telemetry row (reference:
   * telemetry.py:1777-1910 method-effectiveness tables). */

@@ -66,10 +66,12 @@ object CrawlExpected {
         .map(s => (s.source_id, s.last_wave, s.rss_consecutive_failures,
           s.rss_failure_waves.sorted.mkString(","), s.rss_missing_wave,
           s.no_effective_consecutive, s.paused_auto, s.last_successful_method,
-          s.discovered_sections.mkString(",")))
+          s.discovered_sections.mkString(","),
+          s.rss_attempts, s.rss_successes, s.homepage_attempts, s.homepage_successes))
         .toDF("source_id", "last_wave", "rss_consecutive_failures",
           "rss_failure_waves", "rss_missing_wave", "no_effective_consecutive",
-          "paused_auto", "last_successful_method", "discovered_sections"),
+          "paused_auto", "last_successful_method", "discovered_sections",
+          "rss_attempts", "rss_successes", "homepage_attempts", "homepage_successes"),
       "image_decode" -> decode,
       "image_thumbs" -> thumbs)
   }

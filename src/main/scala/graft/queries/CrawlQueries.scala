@@ -75,7 +75,9 @@ object CrawlQueries {
           x => x.cast("string")), ",").as("rss_failure_waves"),
         col("rss_missing_wave"), col("no_effective_consecutive"),
         col("paused_auto"), col("last_successful_method"),
-        array_join(col("discovered_sections"), ",").as("discovered_sections"))
+        array_join(col("discovered_sections"), ",").as("discovered_sections"),
+        col("rss_attempts"), col("rss_successes"),
+        col("homepage_attempts"), col("homepage_successes"))
       .orderBy("source_id")
 
   /** Multimodal decode/feature pass over the fetched binary payloads

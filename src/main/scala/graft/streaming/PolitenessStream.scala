@@ -44,8 +44,10 @@ object PolitenessStream {
               Politeness.initial(host, evs.head.sensitivity,
                 evs.head.crawlDelayS, waveSeconds))
             val out = evs.groupBy(_.wave).toSeq.sortBy(_._1).map { case (w, ws) =>
+              // ok = every X4 content type (extracted|obituary|opinion|
+              // wire), exactly as the batch kernel fold counts them
               val o = Politeness.HostOutcome(
-                ok = ws.count(_.status == "extracted"),
+                ok = ws.count(e => graft.crawl.CrawlEngine.OkStatuses.contains(e.status)),
                 notFound = ws.count(_.status == "404"),
                 forbidden = ws.count(_.status == "403"),
                 rateLimited = ws.count(_.status == "429"),

@@ -98,13 +98,45 @@ object Synth {
     * links, so every due wave after 0 yields zero new URLs. */
   def isZeroNewHost(hostIdx: Int): Boolean = hostIdx % 12 == 6
 
-  /** RSS reliability schedule: the F12 host always fails (driving the
-    * consecutive-3 rule); every 8th+4 host — daily/broadcast cadence in
-    * the frequency vocabulary, so it is due every wave — fails except
-    * when wave%3==2, accumulating ≥5 failures inside a 7-wave window
-    * without ever reaching 3 consecutive (the window rule). */
+  /** The F13 window host: RSS fails except when wave%3==2, accumulating
+    * ≥5 failures inside a 7-wave window without ever reaching 3
+    * consecutive. Its homepage is STALE (see isStaleHomepageHost) so
+    * homepage effectiveness never proves and A5 gating cannot preempt
+    * the ledger. (Disjoint from isZeroNewHost: no x has x≡6 (mod 12)
+    * and x≡4 (mod 8).) */
+  def isWindowHost(hostIdx: Int): Boolean = hostIdx % 8 == 4
+
+  /** The A5-gating host: RSS never succeeds while the homepage stays
+    * productive — after two attempts each, homepage is PROVEN (100%
+    * success) and rss is not (0%), so effectiveness gating stops
+    * attempting RSS entirely (the reference's proven-methods-preempt
+    * behavior, source_processing.py:395-421). idx%20==10 → idx%6==4
+    * (broadcast cadence) for idx≡10 (mod 60), so the class is due every
+    * wave and the 2-attempt threshold is reached by wave 2; never ≡4
+    * (mod 8), so it is disjoint from the window host; the zero-new
+    * overlap (idx≡30 mod 60) defers to that class. */
+  def isDeadFeedHost(hostIdx: Int): Boolean =
+    hostIdx % 20 == 10 && !isZeroNewHost(hostIdx)
+
+  /** RSS reliability schedule (F12 / F13-window / A5-gating host
+    * classes; all remaining hosts have healthy feeds). */
   def rssFails(hostIdx: Int, wave: Int): Boolean =
-    isZeroNewHost(hostIdx) || (hostIdx % 8 == 4 && wave % 3 != 2)
+    isZeroNewHost(hostIdx) || isDeadFeedHost(hostIdx) ||
+      (isWindowHost(hostIdx) && wave % 3 != 2)
+
+  /** Hosts whose homepage serves a stale snapshot (wave-0 links
+    * forever): the F12 zero-new host, and the F13 window host so its
+    * homepage never proves effective (success = NEW urls). */
+  def isStaleHomepageHost(hostIdx: Int): Boolean =
+    isZeroNewHost(hostIdx) || isWindowHost(hostIdx)
+
+  /** O6: per-URL fetch priority by discovery method — RSS-discovered
+    * URLs outrank homepage-discovered, which outrank supplemental
+    * section finds (reference stores a per-candidate priority,
+    * src/models/__init__.py:110, written at discovery time,
+    * source_processing.py:1439-1440; the rebuild derives it from the
+    * discovering method so the ranking term varies). */
+  def priorityOf(methodRank: Int): Int = 3 - methodRank
 
   /** RSS yield: every 3rd host has a sparse feed (cascades to the
     * homepage method); others fill the per-source cap and short-circuit. */
@@ -122,7 +154,7 @@ object Synth {
     * The F12 host's homepage serves a stale snapshot: wave-0 links
     * forever. */
   def homepageLinks(cfg: Config)(hostIdx: Int, wave: Int): Seq[(String, Int)] = {
-    val w = if (isZeroNewHost(hostIdx)) 0 else wave
+    val w = if (isStaleHomepageHost(hostIdx)) 0 else wave
     val h = hostName(hostIdx)
     shapedLinks(cfg)(hostIdx, w, 0 until cfg.urlsPerHostPerWave) ++
       sectionsOf(hostIdx).zipWithIndex.map { case (s, i) =>

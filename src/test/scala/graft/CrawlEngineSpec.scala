@@ -111,6 +111,58 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(got.values.exists(_.last_successful_method == "rss"))
   }
 
+  test("A5: effectiveness gating turns a dead feed's RSS off after 2 attempts") {
+    import spark.implicits._
+    // host 10 (isDeadFeedHost): rss fails w0+w1 (2 attempts, 0 success),
+    // homepage succeeds both → homepage PROVEN at wave 2 → rss gated off
+    // for the rest of the run: attempts freeze at 2, homepage keeps going
+    val st = engineStore.read(spark, "source_state").as[SourceState]
+      .collect().map(s => s.source_id -> s).toMap.apply("src-0010")
+    assert(st.rss_attempts == 2 && st.rss_successes == 0, s"rss counters: $st")
+    assert(st.homepage_attempts == cfg.nWaves && st.homepage_successes == cfg.nWaves,
+      s"homepage counters: $st")
+    // telemetry agrees: rss attempted=false from wave 2 on
+    import org.apache.spark.sql.functions._
+    val rssAttempted = engineStore.read(spark, "telemetry")
+      .filter(col("source_id") === "src-0010" && col("method") === "rss")
+      .select("wave", "attempted").collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(rssAttempted(0) && rssAttempted(1), s"rss must run waves 0-1: $rssAttempted")
+    (2 until cfg.nWaves).foreach(w =>
+      assert(!rssAttempted(w), s"rss must be gated off at wave $w: $rssAttempted"))
+    // and the oracle state matches (full equality is asserted above)
+    assert(oracle.sourceStates("src-0010").rss_attempts == 2)
+  }
+
+  test("O6: method-derived priority decides crawl order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val frontier = frontierNow(engineStore)
+      .select("norm_url", "priority", "discovered_by", "status").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getString(2), r.getString(3))).toMap
+    // priority column actually varies (O6 is no longer a constant term)
+    assert(frontier.values.map(_._1).toSet.size > 1, "priority never varied")
+    val fetches = engineStore.readAll(spark, "results").as[FetchResult]
+      .select("wave", "host", "rank", "norm_url").as[(Int, String, Int, String)]
+      .collect()
+    // within every (wave, host), fetch rank order is non-increasing in
+    // priority (the ranking's primary term)
+    fetches.groupBy(t => (t._1, t._2)).foreach { case ((w, h), rows) =>
+      val ps = rows.sortBy(_._3).map(t => frontier(t._4)._1)
+      assert(ps.zip(ps.drop(1)).forall { case (a, b) => a >= b },
+        s"priority not non-increasing for host $h wave $w: ${ps.toSeq}")
+    }
+    // the term is DECISIVE, not vacuous: some host-wave fetched BOTH
+    // priorities, and (by the monotonicity above) every priority-3 rank
+    // preceded every priority-2 rank within it. Under the old constant
+    // priority the ordering fell through to (discovered_wave, mix),
+    // which interleaves methods.
+    val mixed = fetches.groupBy(t => (t._1, t._2)).filter { case (_, rows) =>
+      rows.map(t => frontier(t._4)._1).toSet.size > 1
+    }
+    assert(mixed.nonEmpty, "no host-wave ever fetched two distinct priorities")
+  }
+
   test("section crawl produced section-lineage fetch candidates (S13)") {
     val n = frontierNow(engineStore)
       .filter(org.apache.spark.sql.functions.col("discovered_by").startsWith("section_crawl["))

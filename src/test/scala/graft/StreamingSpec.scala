@@ -63,6 +63,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(h2.length == 1 && h2(0).consecutive_failures == 0)
   }
 
+  test("X4 content-typed outcomes count as ok — streaming equals batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FetchEvent]
+    val updates = PolitenessStream.politenessUpdates(input.toDS(), waveSeconds = 60.0)
+    val q = updates.writeStream.format("memory").queryName("pol_x4")
+      .outputMode("append").start()
+
+    // wave 0: two failures (streak starts); wave 1: obituary + wire —
+    // X4 content types MUST reset the failure streak exactly as the
+    // batch kernel's OkStatuses fold does
+    input.addData(FetchEvent("h3", 0, "429", 5, 0.0), FetchEvent("h3", 0, "timeout", 5, 0.0))
+    q.processAllAvailable()
+    input.addData(FetchEvent("h3", 1, "obituary", 5, 0.0), FetchEvent("h3", 1, "wire", 5, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("pol_x4").as[PolitenessStream.HostUpdate]
+      .collect().sortBy(_.wave)
+    q.stop()
+
+    var st = Politeness.initial("h3", 5, 0.0, 60.0)
+    st = Politeness.update(st, Politeness.HostOutcome(0, 0, 0, 1, 1, 0), 0, 60.0, 0.0)
+    assert(got(0).consecutive_failures == st.consecutive_failures && st.consecutive_failures == 1)
+    st = Politeness.update(st, Politeness.HostOutcome(2, 0, 0, 0, 0, 0), 1, 60.0, 0.0)
+    assert(got(1).consecutive_failures == st.consecutive_failures && st.consecutive_failures == 0)
+    assert(got(1).cooldown_until_s == st.cooldown_until_s)
+  }
+
   test("windowed failure counts honor watermark + threshold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
