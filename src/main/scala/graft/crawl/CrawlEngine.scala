@@ -59,11 +59,21 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
   private val SeenFpp = 0.01
   private val bloomCapacityPerBucket =
     math.max(1000L, cfg.nHosts.toLong * cfg.urlsPerHostPerWave * cfg.nWaves / cfg.nBuckets * 2)
+  // fail fast if the world outgrew its bucket count: a Bloom filter row
+  // is a single serialized blob, and an oversized one means nBuckets was
+  // not derived from the expected URL volume (Synth.bucketsFor) — at
+  // 10^10 URLs with a fixed small bucket count these blobs would reach
+  // GBs each and the dedup cogroup would be parallelism-capped
+  require(bloomCapacityPerBucket <= 8L * 1000 * 1000,
+    s"bloom capacity/bucket $bloomCapacityPerBucket exceeds 8e6 keys — " +
+      s"derive nBuckets from world size via Synth.bucketsFor " +
+      s"(got nBuckets=${cfg.nBuckets})")
 
   /** Every state table a wave commit pins (crash recovery rolls each
     * back to the last commit's pin). */
   val AllTables: Seq[String] = Seq("sources", "robots", "politeness",
-    "source_state", "frontier", "seen", "seen_bloom", "results", "telemetry")
+    "source_state", "frontier", "seen", "seen_bloom", "results", "telemetry",
+    "wire_patterns", "datasets", "dataset_sources")
 
   /** Host-cardinality tables: write a bounded number of files, scaling
     * with host count (not 1, not #shuffle-partitions). */
@@ -118,7 +128,26 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       Future(store.writeBucketed(spark.emptyDataset[BloomRow].toDF(), "seen_bloom",
         wave = -1, bucketCol = "bucket")),
       Future(store.write(spark.emptyDataset[FetchResult].toDF(), "results", wave = -1)),
-      Future(store.write(spark.emptyDataset[TelemetryRow].toDF(), "telemetry", wave = -1)))
+      Future(store.write(spark.emptyDataset[TelemetryRow].toDF(), "telemetry", wave = -1)),
+      // F9 wire patterns as DB-driven rows (models/__init__.py:351-403),
+      // not code constants — the verify gate broadcast-joins this table
+      Future(store.write(
+        Synth.WirePatterns.zipWithIndex
+          .map { case (p, i) => (i, p, "wire") }
+          .toDF("pattern_order", "pattern", "pattern_type").coalesce(1),
+        "wire_patterns", wave = -1, lineage = "seeded wire-service patterns")),
+      // dataset dims (models/__init__.py:492-630): datasets + the N:M
+      // dataset_sources scope table the due-source scan semi-joins
+      Future(store.write(
+        Synth.DatasetLabels.map(l => (l, s"Dataset $l"))
+          .toDF("dataset_id", "canonical_name").coalesce(1),
+        "datasets", wave = -1, lineage = "seeded dataset registry")),
+      Future(store.write(
+        spark.range(cfg.nHosts).flatMap { i =>
+          val idx = i.toInt
+          Synth.datasetsOf(idx).map(ds => (ds, f"src-$idx%04d"))
+        }.toDF("dataset_id", "source_id").coalesce(hostFiles),
+        "dataset_sources", wave = -1, lineage = "seeded N:M scope table")))
     writes.foreach(Await.result(_, Duration.Inf))
   }
 
@@ -148,7 +177,20 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val params = broadcast(Seq((wave, 2L * wave, cfg.seed + wave))
       .toDF("cur_wave", "cur_seq", "mix_seed"))
     val politeness = store.read(spark, "politeness").as[PolitenessState]
-    val sources = store.read(spark, "sources").as[Source]
+    // dataset scoping (J1 engine-side): a scoped run semi-joins the seed
+    // registry against the N:M dataset_sources rows of the scope label
+    // (broadcast — the scope table is dataset×source cardinality).
+    // Only the DUE scan is scoped; state rewrites keep every source's
+    // row (allSources), so out-of-scope state is preserved untouched.
+    val allSources = store.read(spark, "sources").as[Source]
+    val sources = (Option(cfg.datasetScope) match {
+      case None => allSources.toDF()
+      case Some(scope) =>
+        allSources.toDF().join(
+          broadcast(store.read(spark, "dataset_sources")
+            .filter(col("dataset_id") === scope).select("source_id")),
+          Seq("source_id"), "left_semi")
+    }).as[Source]
     val state = store.read(spark, "source_state").as[SourceState]
     val robots = store.read(spark, "robots")
 
@@ -266,12 +308,21 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val newLinks = definitelyNew.unionByName(confirmedNew)
 
     // ---- 4. verification (F5/F6/F9) + robots gate — pure per-row rules
-    // applied to the DELTA only (old rows never re-verified)
-    val verified = newLinks.withColumn("status",
-      when(lower(col("norm_url")).rlike("/wire/"), lit("wire")) // F9
+    // applied to the DELTA only (old rows never re-verified).
+    // F9 wire patterns come from the wire_patterns TABLE (DB-driven rows
+    // like the reference, url_verification.py:372-393): collapsed to a
+    // one-row array and broadcast-crossed in — an any-match HOF, the
+    // same shape as the robots rule join, and the pattern list never
+    // bakes into generated code.
+    val wirePats = broadcast(store.read(spark, "wire_patterns")
+      .agg(collect_list(col("pattern")).as("wire_pats")))
+    val verified = newLinks.crossJoin(wirePats).withColumn("status",
+      when(exists(col("wire_pats"),
+        p => contains(lower(col("norm_url")), p)), lit("wire")) // F9
         .when(!gf.is_likely_article_path(pathOf(col("norm_url"))), lit("not_article")) // F5
         .when(gf.check_is_article(col("norm_url")), lit("article")) // F6/X1
         .otherwise(lit("not_article")))
+      .drop("wire_pats")
     // robots: broadcast join + longest-match over the pre-sorted rule
     // array (RFC 9309; equal-length ties favor allow — sorted at build)
     val gatedDelta = verified
@@ -448,7 +499,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .join(newByMethod, Seq("source_id"), "left")
       .cache()
     val stateNext = state.toDF()
-      .join(sources.toDF().select(col("source_id"), col("frequency")), Seq("source_id"))
+      .join(allSources.toDF().select(col("source_id"), col("frequency")), Seq("source_id"))
       .join(perSource, Seq("source_id"), "left")
       .as[StateJoin]
       .map { j =>

@@ -39,11 +39,14 @@ object CrawlOracle {
     val fetches = Vector.newBuilder[OracleFetch]
     val allMetrics = Vector.newBuilder[Map[String, Long]]
 
-    // init (mirrors CrawlEngine.init)
-    val srcs = (0 until cfg.nHosts).map { idx =>
-      (f"src-$idx%04d", Synth.hostName(idx), Synth.frequencyOf(idx),
-        Synth.statusOf(idx), idx)
-    }
+    // init (mirrors CrawlEngine.init), incl. the dataset scope semi-join
+    val srcs = (0 until cfg.nHosts)
+      .filter(idx => cfg.datasetScope == null ||
+        Synth.datasetsOf(idx).contains(cfg.datasetScope))
+      .map { idx =>
+        (f"src-$idx%04d", Synth.hostName(idx), Synth.frequencyOf(idx),
+          Synth.statusOf(idx), idx)
+      }
     srcs.foreach { case (sid, h, _, _, idx) =>
       politeness(h) = Politeness.initial(h, Synth.sensitivityOf(idx),
         Synth.crawlDelayOf(idx), cfg.waveSeconds)
@@ -106,7 +109,7 @@ object CrawlOracle {
       // admit batch; verification + robots gate on the new rows only
       batch.foreach { case (norm, (_, _, _, row)) =>
         row.status =
-          if (norm.toLowerCase.contains("/wire/")) "wire"
+          if (Synth.WirePatterns.exists(norm.toLowerCase.contains)) "wire"
           else if (!UrlKernels.isLikelyArticleUrl(norm)) "not_article"
           else if (UrlKernels.checkIsArticle(norm)) "article"
           else "not_article"

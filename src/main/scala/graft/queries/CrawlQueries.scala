@@ -19,7 +19,10 @@ object CrawlQueries {
   def cfgFor(dir: String): Synth.Config = {
     val sf = dir.split("/").reverse.find(_.startsWith("sf")).map(_.stripPrefix("sf"))
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.001)
-    if (sf >= 0.1) Synth.Config(nHosts = 2000, urlsPerHostPerWave = 100, nWaves = 3)
+    if (sf >= 0.1) Synth.Config(nHosts = 2000, urlsPerHostPerWave = 100, nWaves = 3,
+      // derived, not the spec-world 32: volume-scaled with a 2×cores
+      // parallelism floor (local[32] box → 64)
+      nBuckets = Synth.bucketsFor(2000L * 100 * 3, minParallel = 64))
     else if (sf >= 0.01) Synth.Config(nHosts = 60, urlsPerHostPerWave = 30, nWaves = 3)
     else Synth.Config(nHosts = 20, urlsPerHostPerWave = 20, nWaves = 2)
   }

@@ -44,12 +44,28 @@ object Synth {
       imageSize: Int = 24,
       deadUrlTtlWaves: Int = 7, // F10 dead-URL TTL (1 wave ≙ 1 logical day)
       compactEvery: Int = 8, // frontier delta-log compaction cadence
-      sectionLinksPerWave: Int = 5) // S13 supplemental yield per section
+      sectionLinksPerWave: Int = 5, // S13 supplemental yield per section
+      datasetScope: String = null) // run scoped to one dataset label (null = all)
 
   /** F13 ledger thresholds (discovery.py:1158-1515), days ≙ waves. */
   val RssWindowWaves = 7
   val RssWindowThreshold = 5
   val RssConsecThreshold = 3
+
+  /** Scale-derived frontier bucket count: one bucket per ≤1e6 expected
+    * URLs — ≤ ~1.2 MB serialized Bloom filter at 1% fpp and a bounded
+    * seen-key scan per bucket — floored at `minParallel` (pass ~2× the
+    * total core count) so the executor-side dedup/Bloom cogroup is
+    * never parallelism-capped by the bucket count. The floor is
+    * cluster-relative, not a constant: buckets cost files-per-wave, so
+    * a 32-core box wants ~64, a 1000-executor cluster wants thousands,
+    * and beyond that volume takes over (10^10 URLs → 10,000 buckets of
+    * ~1e6 keys). Spec-size worlds pass an explicit small nBuckets;
+    * every bench-scale world derives it from here. */
+  def bucketsFor(expectedUrls: Long, minParallel: Int = 256): Int = {
+    val byVolume = (expectedUrls + 999999L) / 1000000L
+    math.max(minParallel.toLong, math.min(byVolume, 1L << 24)).toInt
+  }
 
   def hostName(i: Int): String = f"host-$i%04d.example"
 
@@ -138,6 +154,35 @@ object Synth {
     * discovering method so the ranking term varies). */
   def priorityOf(methodRank: Int): Int = 3 - methodRank
 
+  /** Dataset dimension (seed-list scoping): the reference scopes a run
+    * to one dataset label via datasets ⋈ dataset_sources N:M tables
+    * (src/models/__init__.py:492-630; joined into the discovery SQL at
+    * src/crawler/discovery.py:2127-2134). The synth membership is
+    * genuinely N:M — hosts can be in both, one, or neither dataset. */
+  val DatasetLabels: Seq[String] = Seq("ds-local", "ds-regional")
+
+  def datasetsOf(hostIdx: Int): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (hostIdx % 2 == 0) b += "ds-local"
+    if (hostIdx % 3 == 0) b += "ds-regional"
+    b.result()
+  }
+
+  /** F9 wire-service URL substrings — the reference keeps these as
+    * DB-driven pattern rows (src/models/__init__.py:351-403, consumed at
+    * url_verification.py:372-393), not code; the engine loads them from
+    * the `wire_patterns` table and applies them as a broadcast
+    * any-match. */
+  val WirePatterns: Seq[String] = Seq("/wire/", "/wires/", "/ap-content/")
+
+  /** Wire-service article ids live in their own range (one per
+    * host-wave; 8-digit ids hold to ~30M host-waves, far beyond any
+    * bench world). */
+  private val WireIdBase = 70000000L
+
+  def wireId(cfg: Config)(hostIdx: Int, wave: Int): Long =
+    WireIdBase + hostIdx.toLong * cfg.nWaves + wave
+
   /** RSS yield: every 3rd host has a sparse feed (cascades to the
     * homepage method); others fill the per-source cap and short-circuit. */
   def rssYield(cfg: Config)(hostIdx: Int): Int =
@@ -159,6 +204,11 @@ object Synth {
     shapedLinks(cfg)(hostIdx, w, 0 until cfg.urlsPerHostPerWave) ++
       sectionsOf(hostIdx).zipWithIndex.map { case (s, i) =>
         (s"https://www.$h/sections/$s", cfg.urlsPerHostPerWave + i)
+      } :+ {
+        // one syndicated wire story per homepage snapshot (F9: tagged
+        // `wire` pre-fetch by the pattern table, never planned)
+        (f"https://www.$h/wire/ap-${wireId(cfg)(hostIdx, w)}%08d",
+          cfg.urlsPerHostPerWave + MaxSections)
       }
   }
 

@@ -163,6 +163,22 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(mixed.nonEmpty, "no host-wave ever fetched two distinct priorities")
   }
 
+  test("F9: pattern-table wire URLs are tagged pre-fetch and never planned") {
+    import org.apache.spark.sql.functions._
+    val wireRows = frontierNow(engineStore)
+      .filter(col("norm_url").contains("/wire/"))
+      .select("status", "processed_wave").collect()
+    assert(wireRows.nonEmpty, "no wire-pattern URLs ever discovered")
+    wireRows.foreach { r =>
+      assert(r.getString(0) == "wire", s"wire URL not tagged: $r")
+      assert(r.getInt(1) == -1, s"wire URL was fetched: $r")
+    }
+    // the gate reads the DB-driven pattern table, not a code constant
+    val pats = engineStore.read(spark, "wire_patterns")
+      .select("pattern").collect().map(_.getString(0)).toSeq
+    assert(pats == Synth.WirePatterns)
+  }
+
   test("section crawl produced section-lineage fetch candidates (S13)") {
     val n = frontierNow(engineStore)
       .filter(org.apache.spark.sql.functions.col("discovered_by").startsWith("section_crawl["))
@@ -180,6 +196,37 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(recovered.nonEmpty, "no transient 404 was re-admitted and recovered")
     // engine equality with the oracle's fetch log is asserted above;
     // this pins that the scenario itself is exercised.
+  }
+
+  test("dataset scoping: a scoped run crawls exactly the scope's sources") {
+    import spark.implicits._
+    val scoped = cfg.copy(datasetScope = "ds-regional", nWaves = 2)
+    val o = CrawlOracle.run(scoped)
+    val store2 = freshStore()
+    new CrawlEngine(spark, scoped, store2).run()
+    val got = store2.readAll(spark, "results").as[FetchResult].collect()
+      .map(r => CrawlOracle.OracleFetch(r.wave, r.host, r.rank, r.norm_url, r.status))
+      .sortBy(f => (f.wave, f.host, f.rank))
+    assert(got.nonEmpty)
+    assert(got.toSeq == o.fetches.sortBy(f => (f.wave, f.host, f.rank)))
+    // every crawled host belongs to the scope dataset (N:M membership)
+    got.map(_.host).distinct.foreach { h =>
+      val idx = h.stripPrefix("host-").takeWhile(_.isDigit).toInt
+      assert(Synth.datasetsOf(idx).contains("ds-regional"), s"out-of-scope host $h crawled")
+    }
+    // out-of-scope sources were never due: their state never advanced
+    val st = store2.read(spark, "source_state").as[SourceState].collect()
+    val outOfScope = st.filter(s =>
+      !Synth.datasetsOf(s.source_id.stripPrefix("src-").toInt).contains("ds-regional"))
+    assert(outOfScope.nonEmpty)
+    outOfScope.foreach(s => assert(s.last_wave == -1, s"out-of-scope source advanced: $s"))
+    // the dims are real N:M tables (a host can be in 2, 1, or 0 datasets)
+    assert(store2.read(spark, "datasets").count() == Synth.DatasetLabels.size.toLong)
+    val perSource = store2.read(spark, "dataset_sources")
+      .groupBy("source_id").count().collect().map(_.getLong(1)).toSet
+    assert(perSource.contains(2L), "no source in two datasets")
+    assert(store2.read(spark, "dataset_sources").count() <
+      cfg.nHosts.toLong * Synth.DatasetLabels.size, "membership is not selective")
   }
 
   test("politeness is honored: ≤ tokens ≤ 3 fetches per host per wave") {

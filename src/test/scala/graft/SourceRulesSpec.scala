@@ -86,4 +86,16 @@ class SourceRulesSpec extends AnyFunSuite {
   test("O6 priority derives from the discovering method") {
     assert(Synth.priorityOf(0) == 3 && Synth.priorityOf(1) == 2 && Synth.priorityOf(2) == 1)
   }
+
+  test("bucketsFor: parallelism floor and ≤1e6-keys-per-bucket volume scaling") {
+    assert(Synth.bucketsFor(600000L) == 256) // bench world: floor wins
+    assert(Synth.bucketsFor(6440000L) == 256) // 6.44M scaling world
+    assert(Synth.bucketsFor(1000000000L) == 1000) // 1e9 → volume wins
+    assert(Synth.bucketsFor(10000000000L) == 10000) // the 1e10 design point
+    // per-bucket bloom capacity (2× keys/bucket) stays ≤ ~2e6 at any scale
+    Seq(6440000L, 1000000000L, 10000000000L).foreach { urls =>
+      val perBucket = urls / Synth.bucketsFor(urls) * 2
+      assert(perBucket <= 8L * 1000 * 1000, s"$urls urls → $perBucket keys/bucket")
+    }
+  }
 }
