@@ -445,21 +445,18 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       updates.select(FrontierCols.map(col): _*))
 
     // politeness: per-host outcome aggregation → pure kernel update,
-    // crawl delay joined from the robots table (no driver map)
-    val outcomes = results.groupByKey(_.host).mapGroups { (h, it) =>
-      var ok, nf, fb, rl, to, cp = 0
-      it.foreach { r =>
-        r.status match {
-          case "404" => nf += 1
-          case "403" => fb += 1
-          case "429" => rl += 1
-          case "timeout" => to += 1
-          case "captcha" => cp += 1
-          case _ => ok += 1 // extracted | obituary | opinion | wire
-        }
-      }
-      (h, ok, nf, fb, rl, to, cp)
-    }.toDF("o_host", "ok", "nf", "fb", "rl", "to", "cp")
+    // crawl delay joined from the robots table (no driver map). A
+    // relational groupBy, NOT a typed mapGroups: column pruning keeps
+    // the image payload bytes out of the exchange and the partial
+    // aggregation ships one row per (partition, host)
+    val outcomes = results.toDF()
+      .groupBy(col("host").as("o_host")).agg(
+        count(when(col("status").isin(OkStatuses: _*), 1)).as("ok"),
+        count(when(col("status") === "404", 1)).as("nf"),
+        count(when(col("status") === "403", 1)).as("fb"),
+        count(when(col("status") === "429", 1)).as("rl"),
+        count(when(col("status") === "timeout", 1)).as("to"),
+        count(when(col("status") === "captcha", 1)).as("cp"))
     val politenessNext = politeness.toDF()
       .join(outcomes, col("host") === col("o_host"), "left").drop("o_host")
       .join(robots.select(col("host").as("d_host"), col("crawl_delay_s")),
@@ -472,9 +469,9 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         if (j.ok.isEmpty && j.nf.isEmpty && j.fb.isEmpty && j.rl.isEmpty &&
           j.to.isEmpty && j.cp.isEmpty) st
         else Politeness.update(st,
-          Politeness.HostOutcome(j.ok.getOrElse(0), j.nf.getOrElse(0),
-            j.fb.getOrElse(0), j.rl.getOrElse(0), j.to.getOrElse(0),
-            j.cp.getOrElse(0)),
+          Politeness.HostOutcome(j.ok.getOrElse(0L).toInt, j.nf.getOrElse(0L).toInt,
+            j.fb.getOrElse(0L).toInt, j.rl.getOrElse(0L).toInt,
+            j.to.getOrElse(0L).toInt, j.cp.getOrElse(0L).toInt),
           wave, waveSec, j.crawl_delay_s.getOrElse(0.0))
       }
 
@@ -728,8 +725,8 @@ object CrawlEngine {
                            cooldown_until_s: Double, consecutive_failures: Int,
                            paused_until_s: Double, bot_encounters: Int,
                            forbidden_count: Int,
-                           ok: Option[Int], nf: Option[Int], fb: Option[Int],
-                           rl: Option[Int], to: Option[Int], cp: Option[Int],
+                           ok: Option[Long], nf: Option[Long], fb: Option[Long],
+                           rl: Option[Long], to: Option[Long], cp: Option[Long],
                            crawl_delay_s: Option[Double])
 
   /** HTTP-200 post-fetch content types (X4) + hard failures — statuses
