@@ -73,7 +73,8 @@ object ScalingChild {
         Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
       else Seq.empty
     val cmd = pin ++ Seq(javaBin,
-      s"-XX:ActiveProcessorCount=$cpus", "-XX:+UseParallelGC",
+      s"-XX:ActiveProcessorCount=$cpus",
+      s"-XX:+Use${sys.env.getOrElse("GRAFT_GC", "ParallelGC")}",
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
       addOpens ++ Seq(

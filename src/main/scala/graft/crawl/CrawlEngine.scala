@@ -633,11 +633,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // amortized maintenance: compact the delta log back to one row per
     // URL so merge-on-read input stays bounded (Iceberg-style MoR
     // compaction). Runs after the commit (a crash before the next
-    // commit rolls it back harmlessly) on the cadence AND after the
-    // final wave, so post-run readers (status counts, exports) see one
-    // row per URL instead of paying the update fold.
-    if (cfg.compactEvery > 0 &&
-      ((wave + 1) % cfg.compactEvery == 0 || wave + 1 == cfg.nWaves)) {
+    // commit rolls it back harmlessly) on the cadence only — NOT after
+    // the final wave: current-state readers use the O(updates)
+    // frontierCurrent fold, so an end-of-run O(frontier) rewrite would
+    // buy nothing and sit inside the crawl's critical path.
+    if (cfg.compactEvery > 0 && (wave + 1) % cfg.compactEvery == 0) {
       timed("compact_frontier", wave) {
         // compacted rows become snapshot rows (is_update=false): the
         // plan pre-filter then excludes terminal rows from the merge

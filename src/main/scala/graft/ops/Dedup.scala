@@ -120,6 +120,27 @@ object Dedup {
     agg.select(col("doc"), fp.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: SRP-bucket the corpus with
+    * seeded hyperplanes (Similarity.srpBucketSeeded), generate candidate
+    * pairs ONLY within a bucket (equi-join on the bucket key — at 100 TB
+    * the bucket is the table's partition key, so this is a co-partitioned
+    * self-join, never all-pairs), then keep pairs whose exact cosine
+    * clears `tau`. Complements the lexical dedups (Jaccard/MinHash/
+    * SimHash) with a semantic near-dup signal over the embedding column. */
+  def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                            planes: Array[Array[Double]],
+                            tau: Double): DataFrame = {
+    val withB = vectors.select(col(idCol), col(vecCol),
+      Similarity.srpBucketSeeded(col(vecCol), planes).as("bucket"))
+    val a = withB.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("bucket"))
+    val b = withB.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bucket"),
+        (floor(Similarity.cosine(col("va"), col("vb")) * 1e4) / 1e4).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** SQL text (shared Spark/DuckDB shape) for the simhash oracle. */
   def simhashOracleSql(table: String, idCol: String, textCol: String,
                        bits: Int = 16): String = {

@@ -228,7 +228,29 @@ object PipelineOps {
        FROM b, q WHERE bit_count(xor(bucket, qb)) <= 1 AND vec_id <> 0
        ORDER BY cos DESC, vec_id LIMIT 10"""
 
+  // embedding-cosine near-dup (semantic dedup over the embedding column,
+  // complementing the lexical Jaccard/MinHash/SimHash family): candidate
+  // pairs only within an SRP bucket, exact truncated cosine ≥ τ. Reuses
+  // the seeded dyadic hyperplanes, so the DuckDB oracle computes the
+  // identical buckets.
+  private val NearDupTau = 0.30
+  val qDedupEmbeddingCosine: Q = (s, dir) =>
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        annPlanes, NearDupTau)
+      .orderBy("id_a", "id_b")
+  val sDedupEmbeddingCosine =
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     CAST($seededBitsSql AS BIGINT) AS bucket FROM embeddings),
+       pairs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+                   floor(list_inner_product(a.v, c.v) /
+                         (sqrt(list_inner_product(a.v, a.v)) *
+                          sqrt(list_inner_product(c.v, c.v))) * 1e4) / 1e4 AS cos
+                 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       SELECT id_a, id_b, bucket, cos FROM pairs WHERE cos >= $NearDupTau
+       ORDER BY id_a, id_b"""
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_embedding_cosine" -> qDedupEmbeddingCosine,
     "q_ann_srp_buckets" -> qAnnSrpBuckets,
     "q_ann_srp_multiprobe" -> qAnnSrpMultiprobe,
     "q_dedup_exact" -> qDedupExact,
@@ -245,6 +267,7 @@ object PipelineOps {
     "q_text_fingerprint" -> qTextFingerprint)
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_embedding_cosine" -> sDedupEmbeddingCosine,
     "q_ann_srp_buckets" -> sAnnSrpBuckets,
     "q_ann_srp_multiprobe" -> sAnnSrpMultiprobe,
     "q_dedup_exact" -> sDedupExact,

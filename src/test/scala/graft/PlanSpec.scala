@@ -75,6 +75,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to full sort:\n$p")
   }
 
+  test("q_dedup_embedding_cosine: bucket equi-join, no cartesian/all-pairs") {
+    val p = plan("q_dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair generation degraded to all-pairs:\n$p")
+    assert(p.contains("bucket"), s"no bucket key in join:\n$p")
+  }
+
   test("engine ranking: WindowGroupLimit (partial map-side top-k per host)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
