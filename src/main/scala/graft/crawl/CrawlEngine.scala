@@ -549,16 +549,24 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     timed("write_results", wave) {
       store.appendDelta(resultsToWrite, "results", wave, lineage = s"wave $wave delta")
     }
+    // bucketed writes hash the bucket key into ~2×cores partitions, NOT
+    // one partition per bucket: physicalWrite's partitionBy still emits
+    // exactly one file per bucket (a bucket hashes to one task), so the
+    // per-bucket manifest and pruning are unchanged, while task-launch
+    // and scheduling overhead stay proportional to the CLUSTER, not the
+    // bucket count (at 10^4 buckets a per-bucket task would put ~10^4
+    // task launches per write on the driver's critical path).
+    val writeParts = math.min(nb, spark.sparkContext.defaultParallelism * 2)
     val fFrontier = Future(timed("write_frontier", wave) {
       store.appendDelta(
-        frontierDelta.repartition(nb, col("host_bucket")),
+        frontierDelta.repartition(writeParts, col("host_bucket")),
         "frontier", wave, bucketCol = Some("host_bucket"),
         lineage = s"wave $wave delta (discovered + outcomes)")
     })
     val fSeen = Future(timed("write_seen", wave) {
       store.appendDelta(
         discovered.select(col("host_bucket"), col("norm_url"))
-          .repartition(nb, col("host_bucket")),
+          .repartition(writeParts, col("host_bucket")),
         "seen", wave, bucketCol = Some("host_bucket"),
         lineage = s"wave $wave keys")
     })
@@ -644,7 +652,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         store.writeBucketed(
           CrawlEngine.frontierCurrent(spark, store)
             .withColumn("is_update", lit(false))
-            .repartition(nb, col("host_bucket")),
+            .repartition(writeParts, col("host_bucket")),
           "frontier", wave, "host_bucket", lineage = s"compaction after wave $wave")
       }
     }
