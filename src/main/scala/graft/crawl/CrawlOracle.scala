@@ -39,18 +39,21 @@ object CrawlOracle {
     val fetches = Vector.newBuilder[OracleFetch]
     val allMetrics = Vector.newBuilder[Map[String, Long]]
 
-    // init (mirrors CrawlEngine.init), incl. the dataset scope semi-join
-    val srcs = (0 until cfg.nHosts)
-      .filter(idx => cfg.datasetScope == null ||
-        Synth.datasetsOf(idx).contains(cfg.datasetScope))
-      .map { idx =>
-        (f"src-$idx%04d", Synth.hostName(idx), Synth.frequencyOf(idx),
-          Synth.statusOf(idx), idx)
-      }
-    srcs.foreach { case (sid, h, _, _, idx) =>
+    // init (mirrors CrawlEngine.init): EVERY source gets state +
+    // politeness rows — like the engine, whose state rewrites keep all
+    // rows. The dataset scope narrows only the DUE scan below, so
+    // out-of-scope rows stay frozen at their initial values.
+    val allSrcs = (0 until cfg.nHosts).map { idx =>
+      (f"src-$idx%04d", Synth.hostName(idx), Synth.frequencyOf(idx),
+        Synth.statusOf(idx), idx)
+    }
+    allSrcs.foreach { case (sid, h, _, _, idx) =>
       politeness(h) = Politeness.initial(h, Synth.sensitivityOf(idx),
         Synth.crawlDelayOf(idx), cfg.waveSeconds)
       state(sid) = SourceRules.initial(sid, h)
+    }
+    val srcs = allSrcs.filter { case (_, _, _, _, idx) =>
+      cfg.datasetScope == null || Synth.datasetsOf(idx).contains(cfg.datasetScope)
     }
 
     for (wave <- 0 until cfg.nWaves) {

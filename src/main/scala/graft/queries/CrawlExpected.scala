@@ -76,20 +76,14 @@ object CrawlExpected {
       "image_thumbs" -> thumbs)
   }
 
-  /** The expectation dumps themselves are enumerated by the driver as
-    * "queries"; registering identity oracle SQL for each keeps the
-    * correctness report free of spurious `no_oracle` rows (every row in
-    * CORRECTNESS must be a real rows+schema+hash gate). */
-  private val selfChecked: Map[String, String] =
-    Seq("crawl_results", "crawl_status_counts", "crawl_seen_by_bucket",
-      "crawl_politeness", "crawl_source_state", "image_decode", "image_thumbs")
-      .map { n =>
-        s"expected_$n" -> s"SELECT * FROM read_parquet('{OUT}/expected_$n/*.parquet')"
-      }.toMap
-
   /** DuckDB oracle SQL for the crawl queries — `{OUT}` is substituted
-    * with the Verify output dir at dump time. */
-  val oracle: Map[String, String] = selfChecked ++ Map(
+    * with the Verify output dir at dump time. The expectation dumps
+    * themselves (`expected_*`) deliberately carry NO oracle SQL: an
+    * identity read of the same parquet would be a tautological gate, so
+    * the driver records them as informational rows-only checks; the
+    * REAL gates are the q_crawl_* / q_image_* rows, which hash-compare
+    * the engine's output against these independently-computed dumps. */
+  val oracle: Map[String, String] = Map(
     "q_crawl_results" ->
       "SELECT * FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')",
     "q_crawl_status_counts" ->

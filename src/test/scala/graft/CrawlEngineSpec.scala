@@ -220,6 +220,17 @@ class CrawlEngineSpec extends AnyFunSuite {
       !Synth.datasetsOf(s.source_id.stripPrefix("src-").toInt).contains("ds-regional"))
     assert(outOfScope.nonEmpty)
     outOfScope.foreach(s => assert(s.last_wave == -1, s"out-of-scope source advanced: $s"))
+    // FULL state + politeness table equality vs the oracle in a SCOPED
+    // run: the oracle (like the engine) keeps frozen initial rows for
+    // out-of-scope sources, so both tables cover every source
+    assert(st.map(s => s.source_id -> s.copy(
+        rss_failure_waves = s.rss_failure_waves.sorted)).toMap ==
+      o.sourceStates.map { case (k, s) => k -> s.copy(
+        rss_failure_waves = s.rss_failure_waves.sorted) },
+      "scoped-run source_state diverges from oracle")
+    assert(store2.read(spark, "politeness").as[graft.model.PolitenessState]
+        .collect().map(p => p.host -> p).toMap == o.politeness,
+      "scoped-run politeness diverges from oracle")
     // the dims are real N:M tables (a host can be in 2, 1, or 0 datasets)
     assert(store2.read(spark, "datasets").count() == Synth.DatasetLabels.size.toLong)
     val perSource = store2.read(spark, "dataset_sources")
