@@ -70,9 +70,13 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       s"(got nBuckets=${cfg.nBuckets})")
 
   /** Every state table a wave commit pins (crash recovery rolls each
-    * back to the last commit's pin). */
+    * back to the last commit's pin). The URL-seen KEY layer is not a
+    * separate table: the frontier log's immutable discovery rows ARE
+    * the seen set (one row per admitted URL), and the exact-confirm
+    * scan reads just their `norm_url` column (parquet column pruning)
+    * from the wave's touched buckets. */
   val AllTables: Seq[String] = Seq("sources", "robots", "politeness",
-    "source_state", "frontier", "seen", "seen_bloom", "results", "telemetry",
+    "source_state", "frontier", "seen_bloom", "results", "telemetry",
     "wire_patterns", "datasets", "dataset_sources")
 
   /** Host-cardinality tables: write a bounded number of files, scaling
@@ -82,9 +86,15 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 
   def init(): Unit = {
     if (store.lastCommittedWave() >= 0) return // resume — keep state
-    // the 9 init snapshots touch disjoint tables — write them as
-    // concurrent Spark jobs (each is a tiny host-cardinality or empty
-    // write; sequential, their fixed per-job latency dominates startup)
+    // append-only tables initialize as pure driver-side metadata (no
+    // Spark job: schema pin + empty manifest); the remaining snapshots
+    // are tiny host-cardinality writes run as concurrent Spark jobs
+    // (sequential, their fixed per-job latency dominates startup)
+    import org.apache.spark.sql.Encoders
+    store.writeEmpty(Encoders.product[FrontierRow].schema, "frontier", wave = -1)
+    store.writeEmpty(Encoders.product[BloomRow].schema, "seen_bloom", wave = -1)
+    store.writeEmpty(Encoders.product[FetchResult].schema, "results", wave = -1)
+    store.writeEmpty(Encoders.product[TelemetryRow].schema, "telemetry", wave = -1)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -120,15 +130,6 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         store.write(state.toDF().coalesce(hostFiles), "source_state", wave = -1,
           lineage = "discovery state init")
       },
-      // bucketed tables start as empty bucketed snapshots (schema pin only)
-      Future(store.writeBucketed(spark.emptyDataset[FrontierRow].toDF(), "frontier",
-        wave = -1, bucketCol = "host_bucket")),
-      Future(store.writeBucketed(spark.emptyDataset[SeenKey].toDF(), "seen",
-        wave = -1, bucketCol = "host_bucket")),
-      Future(store.writeBucketed(spark.emptyDataset[BloomRow].toDF(), "seen_bloom",
-        wave = -1, bucketCol = "bucket")),
-      Future(store.write(spark.emptyDataset[FetchResult].toDF(), "results", wave = -1)),
-      Future(store.write(spark.emptyDataset[TelemetryRow].toDF(), "telemetry", wave = -1)),
       // F9 wire patterns as DB-driven rows (models/__init__.py:351-403),
       // not code constants — the verify gate broadcast-joins this table
       Future(store.write(
@@ -300,9 +301,14 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val definitelyNew = checked.filter(!_._2).map(_._1).toDF()
     // exact confirm: semi-join the (pruned) seen scan against the small
     // Bloom-positive set, then anti-join — both sides of both joins
-    // broadcast the small set; the seen table is scanned (one column,
-    // touched buckets only), never shuffled.
-    val seenScan = store.readBuckets(spark, "seen", touched).select("norm_url")
+    // broadcast the small set; the seen layer is scanned (one column,
+    // touched buckets only), never shuffled. The seen KEYS are the
+    // frontier log's rows themselves (every admitted URL has exactly
+    // one immutable discovery row; update rows only repeat a subset of
+    // those keys, harmless under a semi-join) — parquet column pruning
+    // makes this scan cost what a dedicated key table would, without a
+    // second table write per wave.
+    val seenScan = store.readBuckets(spark, "frontier", touched).select("norm_url")
     val hits = seenScan.join(maybeSeen.select("norm_url"), Seq("norm_url"), "left_semi")
     val confirmedNew = maybeSeen.join(hits, Seq("norm_url"), "left_anti")
     val newLinks = definitelyNew.unionByName(confirmedNew)
@@ -378,17 +384,20 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // backlog is read, and nothing is cached — the only materialized
     // plan product is the (≤ tokens·hosts)-row planned set below.
     val waveSec = cfg.waveSeconds
-    // (host, tokens) is host-cardinality and is ALREADY broadcast into
-    // the ranking join — collecting it once costs the same bytes the
-    // broadcast would ship anyway, and gives the bucket set for the
-    // manifest-pruned backlog scan without a second job
-    val availArr = politeness
+    // (host, tokens) STAYS a DataFrame: the ranking join takes it under
+    // AQE (broadcast at working scales, shuffle join beyond — a
+    // 10^8-host politeness table must never materialize on the driver).
+    // Only the BUCKET set is collected for the manifest-pruned backlog
+    // scan: distinct host_bucket ints, ≤ nBuckets values regardless of
+    // host count.
+    val availHosts = politeness
       .filter(st => Politeness.available(st, wave, waveSec))
       .map(st => (st.host, st.tokens_per_wave))
-      .collect()
-    val availHosts = availArr.toSeq.toDF("p_host", "tokens")
-    val availBuckets: Seq[Int] =
-      availArr.map(h => gf.hostBucketJvm(h._1, nb)).distinct.toSeq.sorted
+      .toDF("p_host", "tokens")
+      .cache() // scanned twice: bucket agg + ranking join
+    val availBuckets: Seq[Int] = availHosts
+      .select(pmod(xxhash64(col("p_host")), lit(nb.toLong)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSeq.sorted
     val log = store.readBuckets(spark, "frontier", availBuckets)
     val dRows = log
       .filter(!col("is_update") && col("status").isin("article", "404"))
@@ -479,10 +488,12 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // (F12/C8), sections (M4), method telemetry; all per-source facts
     // join-assembled, transition via the shared pure kernel
     val dueFacts = due.map { d =>
-      val run = SourceRules.cascade(cfgB.value)(d.host_idx, wave, d.methods,
+      // facts-only evaluation: no second URL expansion (the links
+      // flatMap above is the only place cascade materializes URLs)
+      val f = SourceRules.cascadeFacts(cfgB.value)(d.host_idx, wave, d.methods,
         d.rss_skip, d.sections)
-      DueFacts(d.source_id, run.ranRss, run.rssFailed, run.ranHomepage,
-        run.rawRss, run.rawHomepage, run.rawSection)
+      DueFacts(d.source_id, f.ranRss, f.rssFailed, f.ranHomepage,
+        f.rawRss, f.rawHomepage, f.rawSection)
     }.toDF()
     // one agg for per-method new counts AND M4 section inference
     val newByMethod = gatedDelta.groupBy("source_id").agg(
@@ -563,13 +574,6 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         "frontier", wave, bucketCol = Some("host_bucket"),
         lineage = s"wave $wave delta (discovered + outcomes)")
     })
-    val fSeen = Future(timed("write_seen", wave) {
-      store.appendDelta(
-        discovered.select(col("host_bucket"), col("norm_url"))
-          .repartition(writeParts, col("host_bucket")),
-        "seen", wave, bucketCol = Some("host_bucket"),
-        lineage = s"wave $wave keys")
-    })
     val fBloom = Future(timed("bloom_merge", wave) {
       // bucket-co-partitioned merge in executors; only touched buckets
       // get new files, the rest stay by manifest reference
@@ -604,7 +608,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val fTelemetry = Future(timed("write_telemetry", wave) {
       store.appendDelta(telemetry.coalesce(hostFiles), "telemetry", wave)
     })
-    Seq(fFrontier, fSeen, fBloom, fPoliteness, fState, fTelemetry)
+    Seq(fFrontier, fBloom, fPoliteness, fState, fTelemetry)
       .foreach(Await.result(_, Duration.Inf))
 
     // all counters come from observations riding the write actions
@@ -661,6 +665,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 
     due.unpersist(); checked.unpersist(); gatedDelta.unpersist()
     plannedWide.unpersist(); results.unpersist(); perSource.unpersist()
+    availHosts.unpersist()
     metrics
   }
 
@@ -693,7 +698,6 @@ object CrawlEngine {
   final case class RulePrefix(prefix: String, allow: Boolean)
   final case class RobotsHost(host: String, crawl_delay_s: Double, rules: Seq[RulePrefix])
 
-  final case class SeenKey(host_bucket: Int, norm_url: String)
   final case class DueSource(source_id: String, host_norm: String, frequency: String,
                              host_idx: Int, rss_skip: Boolean,
                              methods: Seq[Int], // A5 attempt order
@@ -763,7 +767,10 @@ object CrawlEngine {
   def rankPerHost(eligible: DataFrame, availHosts: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     eligible
-      .join(broadcast(availHosts), col("host") === col("p_host"), "inner")
+      // no broadcast hint: AQE picks broadcast at working scales and a
+      // shuffle join when the host table outgrows the driver (10^8
+      // hosts) — the token side must never be pinned driver-resident
+      .join(availHosts, col("host") === col("p_host"), "inner")
       .withColumn("mix", xxhash64(col("mix_seed"), col("norm_url")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("host")

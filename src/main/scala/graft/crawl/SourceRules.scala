@@ -149,6 +149,46 @@ object SourceRules {
       rawRss, rawHomepage, rawSection)
   }
 
+  /** The per-source facts of one wave's cascade WITHOUT materializing a
+    * single URL string (yields are closed-form in the synth world):
+    * the engine's state-update path needs only these, so evaluating the
+    * full cascade a second time per due source (as the discovery
+    * flatMap already does for the links) would double the hottest
+    * stage's expansion CPU for nothing. Must stay consistent with
+    * [[cascade]] — SourceRulesSpec sweeps both over the full
+    * (host, wave, order, skip, sections) space and asserts equality. */
+  final case class CascadeFacts(ranRss: Boolean, rssFailed: Boolean,
+                                ranHomepage: Boolean,
+                                rawRss: Long, rawHomepage: Long, rawSection: Long)
+
+  def cascadeFacts(cfg: Synth.Config)(hostIdx: Int, wave: Int, order: Seq[Int],
+                   rssSkip: Boolean, sections: Seq[String]): CascadeFacts = {
+    var ranRss = false; var rssFailed = false; var ranHomepage = false
+    var rawRss = 0L; var rawHomepage = 0L
+    var stop = false
+    order.foreach { m =>
+      if (!stop) m match {
+        case 0 =>
+          if (!rssSkip) {
+            ranRss = true
+            if (Synth.rssFails(hostIdx, wave)) rssFailed = true
+            else {
+              rawRss = Synth.rssYield(cfg)(hostIdx).toLong
+              if (rawRss >= cfg.urlsPerHostPerWave / 2) stop = true
+            }
+          }
+        case 1 =>
+          ranHomepage = true
+          rawHomepage = cfg.urlsPerHostPerWave.toLong +
+            Synth.sectionsOf(hostIdx).size + 1 // sections + the wire story
+        case _ => ()
+      }
+    }
+    val rawSection = sections.map(s =>
+      if (Synth.SectionVocab.contains(s)) cfg.sectionLinksPerWave.toLong else 0L).sum
+    CascadeFacts(ranRss, rssFailed, ranHomepage, rawRss, rawHomepage, rawSection)
+  }
+
   /** State transition after a due wave's discovery. */
   def update(st: SourceState, frequency: String, o: DiscoveryOutcome,
              wave: Int): SourceState = {

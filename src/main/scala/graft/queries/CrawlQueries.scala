@@ -67,9 +67,11 @@ object CrawlQueries {
       .orderBy("status")
 
   /** URL-seen set cardinality per host bucket (J6/X5 surface) — the
-    * dedicated bucket-partitioned seen key table. */
+    * frontier log's immutable discovery rows ARE the seen key layer
+    * (exactly one non-update row per admitted URL). */
   val qCrawlSeenByBucket: Q = (s, dir) =>
-    storeFor(s, dir).read(s, "seen")
+    storeFor(s, dir).read(s, "frontier")
+      .filter(!col("is_update"))
       .groupBy("host_bucket").agg(count(lit(1)).as("n_seen"))
       .orderBy("host_bucket")
 

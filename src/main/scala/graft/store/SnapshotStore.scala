@@ -167,6 +167,21 @@ final class SnapshotStore(val root: String) {
             lineage: String = ""): Int =
     appendSnap(table, wave, lineage, (_, _) => Map.empty, df, None)
 
+  /** Register an EMPTY initial snapshot without launching a Spark job:
+    * pins the schema and commits a file-less manifest. Initializing the
+    * append-only tables is pure driver-side metadata — an empty
+    * DataFrame write would still pay a full job launch + commit
+    * protocol per table. */
+  def writeEmpty(schema: StructType, table: String, wave: Int,
+                 lineage: String = ""): Int = {
+    if (!Files.exists(schemaPath(table)))
+      atomicWrite(schemaPath(table), schema.json)
+    val m = parseManifest(table).getOrElse(Manifest(-1, Seq.empty))
+    val next = m.snaps.map(_.id).foldLeft(-1)(math.max) + 1
+    commitManifest(table, Manifest(next, m.snaps :+ Snap(next, wave, lineage, Map.empty)))
+    next
+  }
+
   /** Full bucketed snapshot (initial load / log compaction). */
   def writeBucketed(df: DataFrame, table: String, wave: Int,
                     bucketCol: String, lineage: String = ""): Int =

@@ -48,13 +48,17 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   def frontierNow(store: SnapshotStore) = CrawlEngine.frontierCurrent(spark, store)
 
-  test("URL-seen set equals oracle (frontier log AND seen table)") {
+  test("URL-seen set equals oracle (merged view AND discovery-row key layer)") {
+    import org.apache.spark.sql.functions.col
     val fromLog = frontierNow(engineStore)
       .select("norm_url").collect().map(_.getString(0)).toSet
-    val fromSeen = engineStore.read(spark, "seen")
-      .select("norm_url").collect().map(_.getString(0)).toSet
+    // the seen KEY layer = the log's immutable discovery rows — exactly
+    // one per admitted URL (what the exact-confirm scan reads)
+    val keyRows = engineStore.read(spark, "frontier")
+      .filter(!col("is_update")).select("norm_url").collect().map(_.getString(0))
     assert(fromLog == oracle.seen)
-    assert(fromSeen == oracle.seen)
+    assert(keyRows.toSet == oracle.seen)
+    assert(keyRows.length == oracle.seen.size, "discovery rows not unique per URL")
     assert(fromLog.nonEmpty)
   }
 
@@ -350,16 +354,22 @@ class CrawlEngineSpec extends AnyFunSuite {
       s"wave-1 frontier delta $delta1 != discovered+planned ${m1("discovered") + m1("planned")}")
   }
 
-  test("seen scan is bucket-pruned: per-bucket files cover only real buckets") {
-    val buckets = engineStore.currentFiles("seen").keySet
+  test("seen scan is bucket-pruned: frontier buckets cover only real host buckets") {
+    import org.apache.spark.sql.functions.col
+    val files = engineStore.currentFiles("frontier")
+    val buckets = files.keySet
     val hostBuckets = (0 until cfg.nHosts)
       .map(i => graft.core.functions.hostBucketJvm(Synth.hostName(i), cfg.nBuckets)).toSet
     assert(buckets.subsetOf(hostBuckets))
-    // pruned read of one bucket touches only that bucket's files
+    // the exact-confirm scan shape: pruned read of one bucket touches
+    // only that bucket's files, and its norm_url rows are per-bucket
+    // consistent (every URL hashed into the bucket it is stored under)
     val b = buckets.head
-    val pruned = engineStore.readBuckets(spark, "seen", Seq(b))
+    val pruned = engineStore.readBuckets(spark, "frontier", Seq(b))
     assert(pruned.inputFiles.map(f => new java.net.URI(f).getPath).toSet ==
-      engineStore.currentFiles("seen")(b).toSet)
+      files(b).toSet)
+    assert(pruned.select("host_bucket").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(b))
   }
 
   test("update-log fold equals full-log merge-on-read (pre-compaction)") {

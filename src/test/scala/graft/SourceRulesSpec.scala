@@ -83,6 +83,33 @@ class SourceRulesSpec extends AnyFunSuite {
     assert(r4.ranHomepage, "an already-run method cannot be short-circuited")
   }
 
+  test("cascadeFacts equals facts derived from the full cascade (sweep)") {
+    val cfg = Synth.Config(nHosts = 60, urlsPerHostPerWave = 20, nWaves = 4)
+    val orders = Seq(Seq(0, 1), Seq(1, 0), Seq(0), Seq(1), Seq.empty[Int])
+    val sectionSets = Seq(Seq.empty[String], Seq("news"), Seq("news", "blog"),
+      Seq("bogus"), Seq("news", "bogus"))
+    for {
+      hostIdx <- 0 until cfg.nHosts
+      wave <- 0 until cfg.nWaves
+      order <- orders
+      rssSkip <- Seq(false, true)
+      sections <- sectionSets
+    } {
+      val run = SourceRules.cascade(cfg)(hostIdx, wave, order, rssSkip, sections)
+      val f = SourceRules.cascadeFacts(cfg)(hostIdx, wave, order, rssSkip, sections)
+      val want = SourceRules.CascadeFacts(run.ranRss, run.rssFailed,
+        run.ranHomepage, run.rawRss, run.rawHomepage, run.rawSection)
+      assert(f == want, s"facts drift at host=$hostIdx wave=$wave order=$order " +
+        s"skip=$rssSkip sections=$sections")
+      // and the raw counts reconcile with the links actually emitted
+      val emitted = run.links.groupBy(_.methodRank).view.mapValues(_.size.toLong).toMap
+      if (!run.rssFailed)
+        assert(emitted.getOrElse(0, 0L) == f.rawRss)
+      assert(emitted.getOrElse(1, 0L) == f.rawHomepage)
+      assert(emitted.getOrElse(2, 0L) == f.rawSection)
+    }
+  }
+
   test("O6 priority derives from the discovering method") {
     assert(Synth.priorityOf(0) == 3 && Synth.priorityOf(1) == 2 && Synth.priorityOf(2) == 1)
   }
