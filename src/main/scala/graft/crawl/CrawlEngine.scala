@@ -77,7 +77,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     * from the wave's touched buckets. */
   val AllTables: Seq[String] = Seq("sources", "robots", "politeness",
     "source_state", "frontier", "seen_bloom", "results", "telemetry",
-    "wire_patterns", "datasets", "dataset_sources")
+    "telemetry_http", "wire_patterns", "content_patterns", "datasets",
+    "dataset_sources")
 
   /** Host-cardinality tables: write a bounded number of files, scaling
     * with host count (not 1, not #shuffle-partitions). */
@@ -95,6 +96,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     store.writeEmpty(Encoders.product[BloomRow].schema, "seen_bloom", wave = -1)
     store.writeEmpty(Encoders.product[FetchResult].schema, "results", wave = -1)
     store.writeEmpty(Encoders.product[TelemetryRow].schema, "telemetry", wave = -1)
+    store.writeEmpty(Encoders.product[HttpTelemetryRow].schema, "telemetry_http", wave = -1)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -137,6 +139,14 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           .map { case (p, i) => (i, p, "wire") }
           .toDF("pattern_order", "pattern", "pattern_type").coalesce(1),
         "wire_patterns", wave = -1, lineage = "seeded wire-service patterns")),
+      // X4 content-classification patterns as DB-driven rows
+      // (content_type_detector.py:237-260 loads these from tables) —
+      // the fetch stage broadcasts them; no keyword set in engine code
+      Future(store.write(
+        Synth.ContentPatterns.zipWithIndex
+          .map { case ((t, k, p), i) => (i, t, k, p) }
+          .toDF("pattern_order", "ptype", "kind", "pattern").coalesce(1),
+        "content_patterns", wave = -1, lineage = "seeded content-type patterns")),
       // dataset dims (models/__init__.py:492-630): datasets + the N:M
       // dataset_sources scope table the due-source scan semi-joins
       Future(store.write(
@@ -151,6 +161,17 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         "dataset_sources", wave = -1, lineage = "seeded N:M scope table")))
     writes.foreach(Await.result(_, Duration.Inf))
   }
+
+  /** X4 pattern rows, loaded from the content_patterns TABLE once per
+    * engine (tiny: pattern-cardinality) and broadcast into the fetch
+    * stage — the DB-driven shape of the reference's detector. */
+  private lazy val contentPatsB = spark.sparkContext.broadcast(
+    store.read(spark, "content_patterns")
+      .select("pattern_order", "ptype", "kind", "pattern")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq)
 
   private val trace = sys.env.get("GRAFT_TRACE").contains("1")
   private def timed[T](label: String, wave: Int)(f: => T): T = {
@@ -322,13 +343,30 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // bakes into generated code.
     val wirePats = broadcast(store.read(spark, "wire_patterns")
       .agg(collect_list(col("pattern")).as("wire_pats")))
-    val verified = newLinks.crossJoin(wirePats).withColumn("status",
-      when(exists(col("wire_pats"),
-        p => contains(lower(col("norm_url")), p)), lit("wire")) // F9
-        .when(!gf.is_likely_article_path(pathOf(col("norm_url"))), lit("not_article")) // F5
-        .when(gf.check_is_article(col("norm_url")), lit("article")) // F6/X1
-        .otherwise(lit("not_article")))
-      .drop("wire_pats")
+    // HTTP precheck stage (url_verification.py:218-347): candidates that
+    // survive the wire + pattern tiers hit the HEAD/GET health check; an
+    // exhausted precheck is terminal `verification_failed` when the
+    // source opted into prechecks (run_http_precheck), else the
+    // non-terminal `verification_uncertain` (statuses at :542-559).
+    // The fault is a pure hash of the URL; the opt-in is a broadcast
+    // column off the seed registry.
+    val precheckFlag = broadcast(allSources.toDF()
+      .select(col("source_id"), col("http_precheck")))
+    val verified = newLinks
+      .join(precheckFlag, Seq("source_id"), "left")
+      .crossJoin(wirePats)
+      .withColumn("pre_err",
+        pmod(xxhash64(lit(cfg.seed + Synth.PrecheckSeed), col("norm_url")),
+          lit(150L)) < 2)
+      .withColumn("status",
+        when(exists(col("wire_pats"),
+          p => contains(lower(col("norm_url")), p)), lit("wire")) // F9
+          .when(!gf.is_likely_article_path(pathOf(col("norm_url"))), lit("not_article")) // F5
+          .when(col("pre_err") && col("http_precheck"), lit("verification_failed"))
+          .when(col("pre_err"), lit("verification_uncertain"))
+          .when(gf.check_is_article(col("norm_url")), lit("article")) // F6/X1
+          .otherwise(lit("not_article")))
+      .drop("wire_pats", "pre_err", "http_precheck")
     // robots: broadcast join + longest-match over the pre-sorted rule
     // array (RFC 9309; equal-length ties favor allow — sorted at build)
     val gatedDelta = verified
@@ -420,8 +458,12 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .as[Planned]
 
     // ---- 6. fetch (X2 cascade executor; X4 content typing) ----
+    // the X4 detector's pattern TABLE rides into the fetch closure as a
+    // broadcast (content-tier classification over the fetched caption —
+    // the type comes from the payload, not from any id)
+    val cpB = contentPatsB
     val results = planned.map { p =>
-      CrawlEngine.resolve(cfgB.value, p.norm_url, p.host, p.host_bucket,
+      CrawlEngine.resolve(cfgB.value, cpB.value, p.norm_url, p.host, p.host_bucket,
         p.source_id, wave, p.rank)
     }.cache()
     val resultsObs = org.apache.spark.sql.Observation()
@@ -608,7 +650,19 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val fTelemetry = Future(timed("write_telemetry", wave) {
       store.appendDelta(telemetry.coalesce(hostFiles), "telemetry", wave)
     })
-    Seq(fFrontier, fBloom, fPoliteness, fState, fTelemetry)
+    // per-(host, http_status) outcome telemetry (telemetry_orm.py:33-277):
+    // a second projection of the already-cached results — column
+    // pruning keeps the payload bytes out of this exchange too
+    val fHttpTelemetry = Future(timed("write_telemetry_http", wave) {
+      store.appendDelta(
+        results.toDF().groupBy(col("host"), col("http_status"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(params) // wave as a parameter column, not a literal
+          .select(col("cur_wave").as("wave"), col("host"), col("http_status"), col("n"))
+          .coalesce(hostFiles),
+        "telemetry_http", wave, lineage = s"wave $wave http outcomes")
+    })
+    Seq(fFrontier, fBloom, fPoliteness, fState, fTelemetry, fHttpTelemetry)
       .foreach(Await.result(_, Duration.Inf))
 
     // all counters come from observations riding the write actions
@@ -856,7 +910,8 @@ object CrawlEngine {
     * verifies the decode round-trip (phash + PSNR fidelity invariant).
     * Lives on the companion so the fetch closure ships no engine
     * state. */
-  private[crawl] def resolve(c: Synth.Config, norm: String, host: String, bucket: Int,
+  private[crawl] def resolve(c: Synth.Config, contentPats: Seq[(String, String, String)],
+                             norm: String, host: String, bucket: Int,
                              srcId: String, wave: Int, rank: Int): FetchResult = {
     val id = Synth.idOf(norm).getOrElse(-1L)
     val hostIdx = srcId.stripPrefix("src-").toInt
@@ -868,7 +923,8 @@ object CrawlEngine {
         val hash = java.security.MessageDigest.getInstance("SHA-256")
           .digest(img.bytes).map("%02x".format(_)).mkString
         FetchResult(norm, host, bucket, srcId, wave, rank, 200,
-          Synth.contentTypeOf(c)(id),
+          // X4: the status comes from the PAYLOAD via the pattern table
+          ContentType.detect(img.caption, contentPats),
           img.image_id, img.bytes, decoded.getWidth, decoded.getHeight,
           img.fmt, img.caption, ImageKernels.phash64(decoded), hash)
       case other =>

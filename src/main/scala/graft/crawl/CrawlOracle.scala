@@ -111,9 +111,16 @@ object CrawlOracle {
 
       // admit batch; verification + robots gate on the new rows only
       batch.foreach { case (norm, (_, _, _, row)) =>
+        val srcIdx = row.sourceId.stripPrefix("src-").toInt
         row.status =
           if (Synth.WirePatterns.exists(norm.toLowerCase.contains)) "wire"
           else if (!UrlKernels.isLikelyArticleUrl(norm)) "not_article"
+          else if (Synth.precheckError(cfg)(norm)) {
+            // HTTP precheck stage: terminal failure iff the source opted
+            // into prechecks (url_verification.py:542-559)
+            if (Synth.precheckOf(srcIdx)) "verification_failed"
+            else "verification_uncertain"
+          }
           else if (UrlKernels.checkIsArticle(norm)) "article"
           else "not_article"
         if (row.status == "article") {
@@ -164,7 +171,8 @@ object CrawlOracle {
         val hostIdx = r.sourceId.stripPrefix("src-").toInt
         val f = if (id < 0) Synth.NotFound else Synth.fault(cfg)(hostIdx, id, wave)
         val status = f match {
-          case Synth.Ok => Synth.contentTypeOf(cfg)(id)
+          case Synth.Ok => // X4: classify the payload via the shared detector
+            ContentType.detect(Synth.captionFor(cfg, id), Synth.ContentPatterns)
           case Synth.NotFound => "404"
           case Synth.Forbidden => "403"
           case Synth.RateLimited => "429"

@@ -15,7 +15,11 @@ case class Source(
     frequency: String, // parse_frequency_to_days vocabulary
     bot_sensitivity: Int, // 1..10 ladder
     status: String, // active | paused
-    base_url: String)
+    base_url: String,
+    // verification HTTP-precheck opt-in (url_verification.py run_http_precheck):
+    // precheck errors are terminal verification_failed; without it they
+    // stay non-terminal verification_uncertain
+    http_precheck: Boolean = false)
 
 /** Frontier row (reference: candidate_links,
   * src/models/__init__.py:67-125). `norm_url` is the dedup key
@@ -79,6 +83,16 @@ case class TelemetryRow(
     attempted: Boolean,
     links_yielded: Long, // raw links the method produced
     new_urls: Long) // survived filters + dedup + seen check
+
+/** Per-(wave, host, http_status) fetch-outcome telemetry row
+  * (reference: HTTP status tracking tables,
+  * src/models/telemetry_orm.py:33-277) — the ops surface the
+  * reference's dashboards aggregate over. */
+case class HttpTelemetryRow(
+    wave: Int,
+    host: String,
+    http_status: Int,
+    n: Long)
 
 /** One host-hash bucket of the URL-seen Bloom bank (X5). Lives as a
   * bucket-keyed TABLE; membership checks and merges run bucket-

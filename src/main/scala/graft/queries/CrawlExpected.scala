@@ -83,7 +83,46 @@ object CrawlExpected {
     * the driver records them as informational rows-only checks; the
     * REAL gates are the q_crawl_* / q_image_* rows, which hash-compare
     * the engine's output against these independently-computed dumps. */
+  /** q_x4_content_type oracle: DuckDB re-derives the classification
+    * from the expected results' captions with the same pattern seed —
+    * an independent SQL implementation of the tiered detector, not a
+    * file identity. */
+  private val x4OracleSql: String = {
+    def anyMatch(ptype: String): String =
+      Synth.ContentPatterns.collect {
+        case (t, kind, p) if t == ptype =>
+          if (kind == "prefix") s"starts_with(lower(caption), '$p')"
+          else s"contains(lower(caption), '$p')"
+      }.mkString("(", " OR ", ")")
+    s"""SELECT norm_url,
+          CASE WHEN ${anyMatch("wire")} THEN 'wire'
+               WHEN ${anyMatch("obituary")} THEN 'obituary'
+               WHEN ${anyMatch("opinion")} THEN 'opinion'
+               ELSE 'extracted' END AS content_type
+        FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')
+        WHERE status IN ('extracted', 'obituary', 'opinion', 'wire')
+        ORDER BY norm_url"""
+  }
+
+  /** q_telemetry_http oracle: DuckDB re-derives the per-(wave, host,
+    * http_status) histogram from the expected results' status column
+    * (the status → HTTP code mapping of the synthetic server). */
+  private val httpTelemetryOracleSql: String =
+    """SELECT wave, host,
+         CASE WHEN status IN ('extracted', 'obituary', 'opinion', 'wire') THEN 200
+              WHEN status = '404' THEN 404
+              WHEN status = '403' THEN 403
+              WHEN status = '429' THEN 429
+              WHEN status = 'captcha' THEN 403
+              ELSE 0 END AS http_status,
+         COUNT(*) AS n
+       FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')
+       GROUP BY 1, 2, 3
+       ORDER BY 1, 2, 3"""
+
   val oracle: Map[String, String] = Map(
+    "q_x4_content_type" -> x4OracleSql,
+    "q_telemetry_http" -> httpTelemetryOracleSql,
     "q_crawl_results" ->
       "SELECT * FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')",
     "q_crawl_status_counts" ->

@@ -98,6 +98,35 @@ object CrawlQueries {
         col("homepage_attempts"), col("homepage_successes"))
       .orderBy("source_id")
 
+  /** X4 as a standalone relational operator: classify every fetched
+    * payload's caption with the DB-driven content_patterns table —
+    * broadcast one-row pattern arrays + tiered any-match HOFs (the same
+    * shape as the F9 wire gate). The DuckDB oracle recomputes the
+    * classification independently from the expected results' captions. */
+  val qX4ContentType: Q = (s, dir) => {
+    val store = storeFor(s, dir)
+    val pats = broadcast(store.read(s, "content_patterns").agg(
+      collect_list(when(col("ptype") === "wire", col("pattern"))).as("wire_p"),
+      collect_list(when(col("ptype") === "obituary", col("pattern"))).as("ob_p"),
+      collect_list(when(col("ptype") === "opinion", col("pattern"))).as("op_p")))
+    store.readAll(s, "results").filter(col("http_status") === 200)
+      .crossJoin(pats)
+      .withColumn("content_type",
+        when(exists(col("wire_p"), p => contains(lower(col("caption")), p)), lit("wire"))
+          .when(exists(col("ob_p"), p => contains(lower(col("caption")), p)), lit("obituary"))
+          .when(exists(col("op_p"), p => startswith(lower(col("caption")), p)), lit("opinion"))
+          .otherwise(lit("extracted")))
+      .select("norm_url", "content_type")
+      .orderBy("norm_url")
+  }
+
+  /** Per-(wave, host, http_status) fetch-outcome telemetry (the
+    * reference's HTTP status-tracking ops table). The DuckDB oracle
+    * recomputes it from the expected results' status column. */
+  val qTelemetryHttp: Q = (s, dir) =>
+    storeFor(s, dir).readAll(s, "telemetry_http")
+      .orderBy("wave", "host", "http_status")
+
   /** Multimodal decode/feature pass over the fetched binary payloads
     * (every HTTP-200 content type carries one). */
   val qImageDecode: Q = (s, dir) =>
@@ -120,6 +149,8 @@ object CrawlQueries {
     "q_crawl_seen_by_bucket" -> qCrawlSeenByBucket,
     "q_crawl_politeness" -> qCrawlPoliteness,
     "q_crawl_source_state" -> qCrawlSourceState,
+    "q_x4_content_type" -> qX4ContentType,
+    "q_telemetry_http" -> qTelemetryHttp,
     "q_image_decode" -> qImageDecode,
     "q_image_thumbs" -> qImageThumbs)
 }

@@ -100,7 +100,8 @@ object Synth {
         frequency = frequencyOf(idx),
         bot_sensitivity = sensitivityOf(idx),
         status = statusOf(idx),
-        base_url = s"https://www.$h")
+        base_url = s"https://www.$h",
+        http_precheck = precheckOf(idx))
     }
   }
 
@@ -351,10 +352,14 @@ object Synth {
     case Captcha => 403
   }
 
-  /** Post-fetch content-type detection (X4): a successful fetch is
-    * classified extracted | obituary | opinion | wire
-    * (content_type_detector.py:948,1071,1134; statuses set at
-    * extraction.py:1085-1105). */
+  /** Ground-truth content class of an article id (X4): decides which
+    * detector MARKERS the synthetic caption carries
+    * (extracted | obituary | opinion | wire). The engine never reads
+    * this at fetch time — it classifies the PAYLOAD with the shared
+    * [[graft.crawl.ContentType]] detector over the `content_patterns`
+    * table (content_type_detector.py:948,1071,1134; statuses set at
+    * extraction.py:1085-1105); ContentTypeSpec asserts the detector
+    * recovers exactly this class for every id. */
   def contentTypeOf(cfg: Config)(id: Long): String = {
     val m = java.lang.Long.remainderUnsigned(mix(cfg.seed, 0xc047L, id), 25)
     if (m == 0) "obituary"
@@ -362,6 +367,40 @@ object Synth {
     else if (m == 2) "wire"
     else "extracted"
   }
+
+  /** X4 detector pattern seed — DB-driven rows like the reference's
+    * wire_services / keyword tables (content_type_detector.py:61-183,
+    * loaded from DB at :237-260), never code constants in the engine:
+    * (ptype, kind, pattern); kind ∈ {contains, prefix}; detection tier
+    * order is wire → obituary → opinion. */
+  val ContentPatterns: Seq[(String, String, String)] = Seq(
+    ("wire", "contains", "associated press"),
+    ("wire", "contains", "(ap) wire"),
+    ("wire", "contains", "reuters"),
+    ("obituary", "contains", "passed away"),
+    ("obituary", "contains", "funeral service"),
+    ("obituary", "contains", "survived by"),
+    ("opinion", "prefix", "opinion:"),
+    ("opinion", "prefix", "editorial:"),
+    ("opinion", "prefix", "letter:"))
+
+  /** Verification HTTP-precheck model (url_verification.py:218-347):
+    * whether a source's verifier runs the HEAD/GET precheck is per-
+    * deployment config — modeled as a per-source column. Errors on a
+    * precheck-enabled source are terminal `verification_failed`; on a
+    * sniffer-first source they stay non-terminal
+    * `verification_uncertain` (statuses at :542-559). */
+  def precheckOf(hostIdx: Int): Boolean = hostIdx % 2 == 0
+
+  /** Seed offset for the precheck fault hash (engine mirrors it as
+    * `pmod(xxhash64(lit(seed+PrecheckSeed), norm_url), 150) < 2`). */
+  val PrecheckSeed = 0xECCL
+
+  /** ~1.3% of verification-stage candidates hit an exhausted HTTP
+    * precheck / sniffer exception — pure function of the URL. */
+  def precheckError(cfg: Config)(normUrl: String): Boolean =
+    Math.floorMod(graft.core.functions.mixKey64(cfg.seed + PrecheckSeed, normUrl),
+      150L) < 2L
 
   /** Ground-truth payload for an article id: seeded pixels encoded png
     * (4 of 5) or jpeg (1 of 5), deterministic caption, integer phash. */
@@ -379,13 +418,29 @@ object Synth {
       phash = ImageKernels.phash64(img))
   }
 
+  /** Caption text carries the class markers the X4 detector keys on
+    * (title/content keyword tiers of content_type_detector.py); the
+    * base vocabulary never collides with any pattern, so
+    * detect(caption) == contentTypeOf(id) exactly. */
   def captionFor(cfg: Config, id: Long): String = {
     val vocab = Array("river", "bridge", "council", "school", "harvest",
       "storm", "festival", "election", "market", "wildfire")
     val m = mix(cfg.seed, 0xca9L, id)
     val a = vocab((java.lang.Long.remainderUnsigned(m, 10)).toInt)
     val b = vocab((java.lang.Long.remainderUnsigned(m >>> 16, 10)).toInt)
-    f"$a and $b story $id%08d"
+    val base = f"$a and $b story $id%08d"
+    contentTypeOf(cfg)(id) match {
+      case "obituary" =>
+        if (id % 2 == 0) f"$a $b memorial $id%08d — passed away; funeral service set"
+        else f"remembering $a $b $id%08d — survived by family"
+      case "opinion" =>
+        if (id % 2 == 0) s"opinion: $base from the $b desk"
+        else s"editorial: $base from the $b desk"
+      case "wire" =>
+        if (id % 2 == 0) s"$base (associated press)"
+        else s"$base (ap) wire dispatch"
+      case _ => base
+    }
   }
 
   /** Parse the article id back out of a normalized synthetic URL. */

@@ -76,6 +76,33 @@ class CrawlEngineSpec extends AnyFunSuite {
     // X4 post-fetch content types present
     assert(Set("obituary", "opinion", "wire").exists(got.keySet.contains),
       s"no content-typed fetches in $got")
+    // verification HTTP-precheck branch reachable BOTH ways: terminal
+    // failure (precheck-enabled source) and non-terminal uncertain
+    assert(got.getOrElse("verification_failed", 0L) > 0, s"no verification_failed in $got")
+    assert(got.getOrElse("verification_uncertain", 0L) > 0, s"no verification_uncertain in $got")
+  }
+
+  test("X4: detector-classified statuses; per-(host,status) telemetry equals oracle") {
+    import org.apache.spark.sql.functions.col
+    // stored result statuses came from ContentType.detect over the
+    // PAYLOAD caption (not from the id) — recompute from stored captions
+    val ok = engineStore.readAll(spark, "results")
+      .filter(col("http_status") === 200)
+      .select("caption", "status").collect()
+    assert(ok.nonEmpty)
+    ok.foreach { r =>
+      assert(graft.crawl.ContentType.detect(r.getString(0), Synth.ContentPatterns) ==
+        r.getString(1), s"stored status != detector for caption '${r.getString(0)}'")
+    }
+    assert(ok.map(_.getString(1)).toSet.intersect(Set("obituary", "opinion", "wire")).nonEmpty)
+    // telemetry_http rows reconcile with the oracle's fetch log
+    val got = engineStore.readAll(spark, "telemetry_http")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val statusHttp = Map("404" -> 404, "403" -> 403, "429" -> 429,
+      "timeout" -> 0, "captcha" -> 403).withDefaultValue(200)
+    val want = oracle.fetches.groupBy(f => (f.wave, f.host, statusHttp(f.status)))
+      .map { case (k, fs) => k -> fs.size.toLong }
+    assert(got == want, "telemetry_http diverges from the oracle fetch log")
   }
 
   test("crawl order (wave, host, rank, url, status) equals oracle") {
