@@ -535,7 +535,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       val f = SourceRules.cascadeFacts(cfgB.value)(d.host_idx, wave, d.methods,
         d.rss_skip, d.sections)
       DueFacts(d.source_id, f.ranRss, f.rssFailed, f.ranHomepage,
-        f.rawRss, f.rawHomepage, f.rawSection)
+        f.rawRss, f.rawHomepage, f.rawSection, f.navSections)
     }.toDF()
     // one agg for per-method new counts AND M4 section inference
     val newByMethod = gatedDelta.groupBy("source_id").agg(
@@ -567,7 +567,9 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
                 Map(0 -> j.new_rss.getOrElse(0L),
                   1 -> j.new_homepage.getOrElse(0L),
                   2 -> j.new_section.getOrElse(0L)),
-                j.sections_found.getOrElse(Seq.empty)),
+                // M4: URL-inferred (Strategy 2) ∪ nav-parsed (Strategy 1)
+                j.sections_found.getOrElse(Seq.empty) ++
+                  j.nav_sections.getOrElse(Seq.empty)),
               wave)
         }
       }
@@ -767,7 +769,8 @@ object CrawlEngine {
                            source_id: String, rank: Int)
   final case class DueFacts(source_id: String, rss_attempted: Boolean,
                             rss_failed: Boolean, homepage_ran: Boolean,
-                            raw_rss: Long, raw_homepage: Long, raw_section: Long)
+                            raw_rss: Long, raw_homepage: Long, raw_section: Long,
+                            nav_sections: Seq[String]) // M4 Strategy 1
   final case class PerSource(source_id: String, rss_attempted: Boolean,
                              rss_failed: Boolean, homepage_ran: Boolean,
                              raw_rss: Long, raw_homepage: Long, raw_section: Long,
@@ -786,6 +789,7 @@ object CrawlEngine {
                              homepage_ran: Option[Boolean],
                              raw_rss: Option[Long], raw_homepage: Option[Long],
                              raw_section: Option[Long],
+                             nav_sections: Option[Seq[String]],
                              new_rss: Option[Long], new_homepage: Option[Long],
                              new_section: Option[Long],
                              sections_found: Option[Seq[String]])

@@ -106,7 +106,7 @@ object CrawlOracle {
           }
         }
         outcomes(sid) = SourceRules.DiscoveryOutcome(run.ranRss, run.rssFailed,
-          run.ranHomepage, Map.empty, Seq.empty) // method news + sections filled below
+          run.ranHomepage, Map.empty, run.navSections) // method news + url-sections filled below
       }
 
       // admit batch; verification + robots gate on the new rows only
@@ -205,8 +205,10 @@ object CrawlOracle {
         val o = base.copy(
           newByMethod = newByMethodPerSource.get(sid)
             .map(_.toMap).getOrElse(Map(0 -> 0L, 1 -> 0L, 2 -> 0L)),
+          // M4: URL-inferred (Strategy 2) ∪ nav-parsed (Strategy 1,
+          // carried on base from the cascade run)
           sectionsFound = sectionsPerSource.get(sid)
-            .map(_.toSeq.sorted).getOrElse(Seq.empty))
+            .map(_.toSeq.sorted).getOrElse(Seq.empty) ++ base.sectionsFound)
         state(sid) = SourceRules.update(state(sid), freq, o, wave)
       }
       val pausedSources = state.values.count(_.paused_auto).toLong

@@ -102,7 +102,8 @@ object SourceRules {
   final case class CascadeRun(links: IndexedSeq[CascadeLink],
                               ranRss: Boolean, rssFailed: Boolean,
                               ranHomepage: Boolean,
-                              rawRss: Long, rawHomepage: Long, rawSection: Long)
+                              rawRss: Long, rawHomepage: Long, rawSection: Long,
+                              navSections: Seq[String])
 
   /** One due source's discovery cascade (S5/S6/S13 + U1 + A5): run the
     * A5-selected methods in attempt order; a healthy RSS yield ≥ max/2
@@ -146,8 +147,16 @@ object SourceRules {
       }
     }
     CascadeRun(out.result(), ranRss, rssFailed, ranHomepage,
-      rawRss, rawHomepage, rawSection)
+      rawRss, rawHomepage, rawSection, navSectionsOf(hostIdx, ranHomepage))
   }
+
+  /** M4 Strategy 1: parse the homepage's navigation block for section
+    * fronts — only when the homepage method actually ran this wave
+    * (the nav HTML arrives with the homepage fetch). */
+  def navSectionsOf(hostIdx: Int, ranHomepage: Boolean): Seq[String] =
+    if (!ranHomepage) Seq.empty
+    else NavDiscovery.sectionNames(s"www.${Synth.hostName(hostIdx)}",
+      Synth.navBlockOf(hostIdx))
 
   /** The per-source facts of one wave's cascade WITHOUT materializing a
     * single URL string (yields are closed-form in the synth world):
@@ -159,7 +168,8 @@ object SourceRules {
     * (host, wave, order, skip, sections) space and asserts equality. */
   final case class CascadeFacts(ranRss: Boolean, rssFailed: Boolean,
                                 ranHomepage: Boolean,
-                                rawRss: Long, rawHomepage: Long, rawSection: Long)
+                                rawRss: Long, rawHomepage: Long, rawSection: Long,
+                                navSections: Seq[String])
 
   def cascadeFacts(cfg: Synth.Config)(hostIdx: Int, wave: Int, order: Seq[Int],
                    rssSkip: Boolean, sections: Seq[String]): CascadeFacts = {
@@ -186,7 +196,8 @@ object SourceRules {
     }
     val rawSection = sections.map(s =>
       if (Synth.SectionVocab.contains(s)) cfg.sectionLinksPerWave.toLong else 0L).sum
-    CascadeFacts(ranRss, rssFailed, ranHomepage, rawRss, rawHomepage, rawSection)
+    CascadeFacts(ranRss, rssFailed, ranHomepage, rawRss, rawHomepage, rawSection,
+      navSectionsOf(hostIdx, ranHomepage))
   }
 
   /** State transition after a due wave's discovery. */

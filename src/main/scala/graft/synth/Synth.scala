@@ -213,13 +213,49 @@ object Synth {
       }
   }
 
-  /** Section vocabulary — names chosen so /<section>/p-<id> passes the
-    * conservative article check (url_filters.py section patterns). */
-  val SectionVocab: Array[String] = Array("news", "blog")
+  /** Section vocabulary. news/blog surface as `/sections/<name>` URLs
+    * (Strategy-2 URL inference); `local` is NAV-ONLY — it exists solely
+    * in the homepage's navigation block, so only the M4 nav parse can
+    * discover it. Article URL shapes per section are chosen to pass the
+    * conservative F6 check (url_filters.py section patterns). */
+  val SectionVocab: Array[String] = Array("news", "blog", "local")
   val MaxSections: Int = SectionVocab.length
 
+  /** Sections advertised as `/sections/<name>` links on the homepage
+    * (the URL-inference M4 path). */
   def sectionsOf(hostIdx: Int): Seq[String] =
     if (hostIdx % 2 == 0) Seq("news", "blog") else Seq("news")
+
+  /** Hosts whose navigation advertises the nav-only `local` section:
+    * the idx%4==1 class (weekly/monthly cadence — discovers the section
+    * but rarely re-crawls, exercising discovery alone) and the
+    * idx%12==0 class (daily cadence + sparse RSS, so the homepage —
+    * and with it the nav parse — runs every wave and the supplemental
+    * crawl actually fetches `local` articles from wave 1 on). */
+  def hasLocalNavSection(hostIdx: Int): Boolean =
+    hostIdx % 4 == 1 || hostIdx % 12 == 0
+
+  /** The homepage's navigation HTML (served with every homepage
+    * snapshot): the accepted section fronts, plus one of every reject
+    * class the reference's nav parse filters out — deep paths,
+    * keyword-free links, feeds, non-http protocols, cross-domain links,
+    * the root (discovery.py:726-771). */
+  def navBlockOf(hostIdx: Int): String = {
+    val h = s"www.${hostName(hostIdx)}"
+    val items = Seq.newBuilder[String]
+    sectionsOf(hostIdx).foreach(s =>
+      items += s"""<a href="/sections/$s/">${s.capitalize}</a>""")
+    if (hasLocalNavSection(hostIdx))
+      items += """<a href="/local/">Local coverage</a>"""
+    items += """<a href="/news/archive/2020/">News archive</a>""" // depth > 2
+    items += """<a href="/weirdo/">Weird stuff</a>""" // no section keyword
+    items += """<a href="/feed/rss.xml">RSS</a>""" // feed path
+    items += s"""<a href="mailto:desk@${hostName(hostIdx)}">Contact</a>""" // protocol
+    items += """<a href="https://other-00.example/news/">More news</a>""" // cross-domain
+    items += """<a href="/">Home</a>""" // root
+    s"""<html><body><nav class="main">${items.result().mkString("\n")}</nav>""" +
+      s"""<div class="content">stories for $h</div></body></html>"""
+  }
 
   private val SectionIdBase = 50000000L
 
@@ -229,7 +265,9 @@ object Synth {
         cfg.sectionLinksPerWave + k
 
   /** Supplemental section crawl (S13): articles under a discovered
-    * section prefix. */
+    * section prefix. news/blog articles live at /<section>/p-<id>
+    * (F6 section patterns); the nav-only `local` section publishes
+    * under /stories/local-<id> (F6 story pattern). */
   def sectionLinks(cfg: Config)(hostIdx: Int, wave: Int, section: String): Seq[(String, Int)] = {
     val h = hostName(hostIdx)
     val si = SectionVocab.indexOf(section)
@@ -237,7 +275,10 @@ object Synth {
     if (si < 0) Seq.empty
     else (0 until cfg.sectionLinksPerWave).map { k =>
       val id = sectionArticleId(cfg)(hostIdx, w, si, k)
-      (f"https://www.$h/$section/p-$id%08d", k)
+      val url =
+        if (section == "local") f"https://www.$h/stories/local-$id%08d"
+        else f"https://www.$h/$section/p-$id%08d"
+      (url, k)
     }
   }
 

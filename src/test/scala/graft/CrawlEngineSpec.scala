@@ -140,6 +140,14 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(got.values.exists(_.rss_missing_wave >= 0), "no RSS feed went missing (F13)")
     assert(got.values.exists(_.discovered_sections.nonEmpty), "no sections discovered (M4)")
     assert(got.values.exists(_.last_successful_method == "rss"))
+    // M4 Strategy 1: the nav-ONLY `local` section (never a /sections/
+    // URL) was discovered by the nav parse and fed the section crawl
+    assert(got.values.exists(_.discovered_sections.contains("local")),
+      "nav-only section never discovered (M4 Strategy 1)")
+    val localArticles = frontierNow(engineStore)
+      .filter(org.apache.spark.sql.functions.col("norm_url").contains("/stories/local-"))
+      .count()
+    assert(localArticles > 0, "nav-discovered section yielded no section-crawl articles")
   }
 
   test("A5: effectiveness gating turns a dead feed's RSS off after 2 attempts") {

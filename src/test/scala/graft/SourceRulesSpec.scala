@@ -98,7 +98,8 @@ class SourceRulesSpec extends AnyFunSuite {
       val run = SourceRules.cascade(cfg)(hostIdx, wave, order, rssSkip, sections)
       val f = SourceRules.cascadeFacts(cfg)(hostIdx, wave, order, rssSkip, sections)
       val want = SourceRules.CascadeFacts(run.ranRss, run.rssFailed,
-        run.ranHomepage, run.rawRss, run.rawHomepage, run.rawSection)
+        run.ranHomepage, run.rawRss, run.rawHomepage, run.rawSection,
+        run.navSections)
       assert(f == want, s"facts drift at host=$hostIdx wave=$wave order=$order " +
         s"skip=$rssSkip sections=$sections")
       // and the raw counts reconcile with the links actually emitted
@@ -108,6 +109,28 @@ class SourceRulesSpec extends AnyFunSuite {
       assert(emitted.getOrElse(1, 0L) == f.rawHomepage)
       assert(emitted.getOrElse(2, 0L) == f.rawSection)
     }
+  }
+
+  test("M4 nav parse: fuzzy keyword match, shallow-path cap, reject classes") {
+    import graft.crawl.NavDiscovery
+    // host 1: nav-only `local` + /sections/news — blog is NOT advertised
+    // and every noise link class is rejected
+    val h1 = s"www.${Synth.hostName(1)}"
+    assert(NavDiscovery.sectionNames(h1, Synth.navBlockOf(1)) == Seq("news", "local"))
+    // host 2 (even, no local): /sections/news accepted; /sections/blog
+    // present in the nav but "blog" matches no section keyword — only
+    // the URL-inference strategy can discover it
+    val h2 = s"www.${Synth.hostName(2)}"
+    assert(NavDiscovery.sectionNames(h2, Synth.navBlockOf(2)) == Seq("news"))
+    // host 0 (daily + sparse rss): local advertised so the supplemental
+    // crawl exercises nav-discovered sections in short worlds
+    assert(NavDiscovery.sectionNames(s"www.${Synth.hostName(0)}",
+      Synth.navBlockOf(0)) == Seq("news", "local"))
+    // degenerate inputs
+    assert(NavDiscovery.sectionNames(h1, "") == Seq.empty)
+    assert(NavDiscovery.sectionNames(h1,
+      """<div><a href="/sports/">Sports</a></div>""") == Seq("sports"),
+      "no-nav fallback must scan the page body")
   }
 
   test("O6 priority derives from the discovering method") {
