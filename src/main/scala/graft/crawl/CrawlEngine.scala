@@ -103,8 +103,16 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val ws = cfg.waveSeconds
     val writes = Seq(
       Future {
-        store.write(Synth.sources(spark, cfg).toDF().coalesce(hostFiles),
-          "sources", wave = -1, lineage = "synth seed registry")
+        // S12: a publisher CSV can seed the registry (load-sources CLI,
+        // src/cli/commands/load_sources.py); default is the synth world
+        val seed = Option(cfg.sourcesCsv) match {
+          case Some(path) => graft.sources.SourceCsv.load(spark, path)
+          case None => Synth.sources(spark, cfg)
+        }
+        store.write(seed.toDF().coalesce(hostFiles),
+          "sources", wave = -1,
+          lineage = Option(cfg.sourcesCsv).map(p => s"csv seed: $p")
+            .getOrElse("synth seed registry"))
       },
       Future {
         val robots = spark.range(cfg.nHosts).map { i =>

@@ -94,6 +94,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-GROUP resolution: connected components over a candidate-
+    * pair graph → (doc, component_id = min doc id reachable), the step
+    * that turns pair lists (LSH/Jaccard output) into keep/drop sets.
+    * Iterative min-label propagation: each round joins every node's
+    * label across its edges and keeps the minimum; rounds are plain
+    * shuffle-on-key joins/aggregations (no driver state beyond the
+    * converged? counter), and convergence takes ≤ graph-diameter
+    * rounds — near-dup clusters are shallow (dup clusters of size
+    * 2-10), so 2-3 rounds in practice. At 10^10-doc scale the same
+    * dataflow upgrades to alternating large-star/small-star (O(log n)
+    * rounds, identical per-round shape); `maxIter` bounds the loop
+    * either way. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges.join(labels, edges("b") === labels("node"))
+        .select(edges("a").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc"), col("label").as("component_id"))
+  }
+
   /** SimHash over distinct tokens: md5(token) supplies `bits` bits
     * (4 per leading hex char); each token votes ±1 per bit; the sign
     * of the per-bit sum (ties → 1) forms the fingerprint. Pure SQL

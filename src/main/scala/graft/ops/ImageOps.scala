@@ -23,21 +23,8 @@ object ImageOps {
     if (bytes == null || bytes.isEmpty) None
     else {
       val img = ImageKernels.decode(bytes)
-      var luma = 0.0
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          luma += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          x += 1
-        }
-        y += 1
-      }
       Some(Decoded(image_id, img.getWidth, img.getHeight, fmt,
-        math.floor(luma / (img.getWidth * img.getHeight) * 1e4) / 1e4,
-        ImageKernels.phash64(img)))
+        meanLuma(img), ImageKernels.phash64(img)))
     }
   }
 
@@ -49,6 +36,50 @@ object ImageOps {
       Some(Thumb(image_id, tw, th,
         ImageKernels.encode(thumb, "png"), ImageKernels.phash64(thumb)))
     }
+  }
+
+  /** One row with BOTH feature sets — the decode-once form: features
+    * (dims, luma, phash) and the thumbnail derive from a single ImageIO
+    * decode, where running [[decodeFeatures]] and [[thumbnails]]
+    * separately would decode every image twice. */
+  final case class FullDecoded(image_id: String, w: Int, h: Int, fmt: String,
+                               mean_luma: Double, phash: Long,
+                               thumb_w: Int, thumb_h: Int,
+                               thumb_png: Array[Byte], thumb_phash: Long)
+
+  /** Fused decode: one ImageIO decode per image feeding features AND
+    * the thumbnail. Same typed-mapPartitions shape as the single-output
+    * operators; kernels shared with them (per-row outputs identical). */
+  def decodeFused(images: DataFrame, tw: Int = 8, th: Int = 8): Dataset[FullDecoded] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("image_id", "bytes", "fmt").as[ImgIn]
+      .mapPartitions(_.flatMap { r =>
+        if (r.bytes == null || r.bytes.isEmpty) None
+        else {
+          val img = ImageKernels.decode(r.bytes)
+          val thumb = ImageKernels.resize(img, tw, th)
+          Some(FullDecoded(r.image_id, img.getWidth, img.getHeight, r.fmt,
+            meanLuma(img), ImageKernels.phash64(img),
+            tw, th, ImageKernels.encode(thumb, "png"), ImageKernels.phash64(thumb)))
+        }
+      })
+  }
+
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    var luma = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        luma += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    math.floor(luma / (img.getWidth * img.getHeight) * 1e4) / 1e4
   }
 
   /** Decode + feature-extract over a (image_id, bytes, fmt) projection. */

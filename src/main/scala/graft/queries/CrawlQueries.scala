@@ -127,19 +127,28 @@ object CrawlQueries {
     storeFor(s, dir).readAll(s, "telemetry_http")
       .orderBy("wave", "host", "http_status")
 
+  // decode-ONCE pass shared by q_image_decode and q_image_thumbs: one
+  // ImageIO decode per image feeds both feature sets (running the two
+  // single-output operators separately would decode everything twice);
+  // cached per sf dir, so whichever query runs first materializes it
+  private val decodedStore = TrieMap.empty[String, DataFrame]
+  private def decodedFor(s: SparkSession, dir: String): DataFrame =
+    decodedStore.getOrElseUpdate(dir, {
+      graft.ops.ImageOps.decodeFused(
+        storeFor(s, dir).readAll(s, "results").filter(col("http_status") === 200))
+        .toDF().cache()
+    })
+
   /** Multimodal decode/feature pass over the fetched binary payloads
     * (every HTTP-200 content type carries one). */
   val qImageDecode: Q = (s, dir) =>
-    graft.ops.ImageOps.decodeFeatures(
-      storeFor(s, dir).readAll(s, "results").filter(col("http_status") === 200))
-      .toDF()
+    decodedFor(s, dir)
+      .select("image_id", "w", "h", "fmt", "mean_luma", "phash")
       .orderBy("image_id")
 
   /** Thumbnail + perceptual-hash extraction (resize path). */
   val qImageThumbs: Q = (s, dir) =>
-    graft.ops.ImageOps.thumbnails(
-      storeFor(s, dir).readAll(s, "results").filter(col("http_status") === 200))
-      .toDF()
+    decodedFor(s, dir)
       .select("image_id", "thumb_w", "thumb_h", "thumb_phash")
       .orderBy("image_id")
 

@@ -71,10 +71,13 @@ object PipelineOps {
       k = 3, nHashes = 4, bandSize = 2)
     Dedup.lshCandidatePairs(sig, nBands = 2).orderBy("id_a", "id_b")
   }
-  val sDedupLshPairs =
-    """WITH corpus AS (SELECT doc_id, text FROM documents
-                       UNION ALL
-                       SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25),
+  /** Shared CTE chain: clone corpus → shingles → minhash sig → LSH
+    * bands → candidate pairs (used by q_dedup_lsh_pairs and as the
+    * edge set of q_dedup_groups' recursive closure). */
+  private val lshPairsCte =
+    """corpus AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25),
        tok AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM corpus),
        pre AS (SELECT doc, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
                FROM tok WHERE len(t) >= 3),
@@ -85,10 +88,33 @@ object PipelineOps {
                FROM sh GROUP BY doc),
        bands AS (SELECT doc, md5(h0 || h1) AS key, 0 AS band FROM sig
                  UNION ALL
-                 SELECT doc, md5(h2 || h3) AS key, 1 AS band FROM sig)
-       SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
-       FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band AND a.doc < b.doc
-       ORDER BY id_a, id_b"""
+                 SELECT doc, md5(h2 || h3) AS key, 1 AS band FROM sig),
+       pairs AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+                 FROM bands a JOIN bands b
+                 ON a.key = b.key AND a.band = b.band AND a.doc < b.doc)"""
+  val sDedupLshPairs =
+    s"""WITH $lshPairsCte
+       SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"""
+
+  /** Dedup GROUP resolution: connected components over the LSH pair
+    * graph → (doc, component_id) keep/drop sets. Spark side: iterative
+    * min-label propagation; oracle: recursive reachability closure. */
+  val qDedupGroups: Q = (s, dir) => {
+    val sig = Dedup.minhashSignatures(cloneCorpus(s, dir), "doc_id", "text",
+      k = 3, nHashes = 4, bandSize = 2)
+    Dedup.connectedComponents(Dedup.lshCandidatePairs(sig, nBands = 2))
+      .orderBy("doc")
+  }
+  val sDedupGroups =
+    s"""WITH RECURSIVE $lshPairsCte,
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b AS a, id_a AS b FROM pairs),
+       reach(node, r) AS (SELECT a, a FROM edges
+                          UNION
+                          SELECT e.a, reach.r FROM edges e
+                          JOIN reach ON e.b = reach.node)
+       SELECT node AS doc, MIN(r) AS component_id
+       FROM reach GROUP BY node ORDER BY doc"""
 
   val qDedupSimhash: Q = (s, dir) =>
     Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)
@@ -257,6 +283,7 @@ object PipelineOps {
     "q_dedup_ngram_jaccard" -> qDedupJaccard,
     "q_dedup_minhash_sig" -> qDedupMinhashSig,
     "q_dedup_lsh_pairs" -> qDedupLshPairs,
+    "q_dedup_groups" -> qDedupGroups,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
@@ -274,6 +301,7 @@ object PipelineOps {
     "q_dedup_ngram_jaccard" -> sDedupJaccard,
     "q_dedup_minhash_sig" -> sDedupMinhashSig,
     "q_dedup_lsh_pairs" -> sDedupLshPairs,
+    "q_dedup_groups" -> sDedupGroups,
     "q_dedup_simhash" -> sDedupSimhash,
     "q_sim_cosine_topk" -> sSimCosineTopk,
     "q_ann_lsh_buckets" -> sAnnLshBuckets,

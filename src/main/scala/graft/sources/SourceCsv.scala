@@ -14,27 +14,38 @@ object SourceCsv {
 
   /** Expected columns: host, name, frequency, bot_sensitivity
     * (missing politeness fields default per the reference: sensitivity
-    * 5 = moderate). */
+    * 5 = moderate). Optional columns an operator's export may carry:
+    * source_id (stable id reuse on re-import), status, http_precheck —
+    * defaulted like the reference loader when absent. */
   def load(spark: SparkSession, path: String): Dataset[Source] = {
     import spark.implicits._
-    spark.read.option("header", "true").csv(path)
+    val raw = spark.read.option("header", "true").csv(path)
+    def opt(name: String, default: org.apache.spark.sql.Column) =
+      if (raw.columns.contains(name)) col(name) else default
+    raw
       .select(
         col("host"),
         coalesce(col("name"), col("host")).as("canonical_name"),
         col("frequency"),
-        coalesce(col("bot_sensitivity").cast("int"), lit(5)).as("bot_sensitivity"))
-      .as[(String, String, String, Int)]
-      .flatMap { case (host, name, freq, sens) =>
+        coalesce(col("bot_sensitivity").cast("int"), lit(5)).as("bot_sensitivity"),
+        opt("source_id", lit(null).cast("string")).as("source_id"),
+        coalesce(opt("status", lit("active")), lit("active")).as("status"),
+        coalesce(opt("http_precheck", lit(false)).cast("boolean"), lit(false))
+          .as("http_precheck"))
+      .as[(String, String, String, Int, String, String, Boolean)]
+      .flatMap { case (host, name, freq, sens, sid, status, precheck) =>
         Option(UrlKernels.canonicalHost(host)).map { norm =>
           Source(
-            source_id = f"src-${UrlKernels.urlHash64(norm) & 0x7fffffff}%010d",
+            source_id = Option(sid).getOrElse(
+              f"src-${UrlKernels.urlHash64(norm) & 0x7fffffff}%010d"),
             host = host,
             host_norm = norm,
             canonical_name = name,
             frequency = freq,
             bot_sensitivity = math.max(1, math.min(10, sens)),
-            status = "active",
-            base_url = s"https://$norm")
+            status = status,
+            base_url = s"https://$norm",
+            http_precheck = precheck)
         }
       }
   }

@@ -45,7 +45,8 @@ object Synth {
       deadUrlTtlWaves: Int = 7, // F10 dead-URL TTL (1 wave ≙ 1 logical day)
       compactEvery: Int = 8, // frontier delta-log compaction cadence
       sectionLinksPerWave: Int = 5, // S13 supplemental yield per section
-      datasetScope: String = null) // run scoped to one dataset label (null = all)
+      datasetScope: String = null, // run scoped to one dataset label (null = all)
+      sourcesCsv: String = null) // S12: seed the registry from a publisher CSV
 
   /** F13 ledger thresholds (discovery.py:1158-1515), days ≙ waves. */
   val RssWindowWaves = 7

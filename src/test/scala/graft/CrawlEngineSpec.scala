@@ -279,6 +279,32 @@ class CrawlEngineSpec extends AnyFunSuite {
       cfg.nHosts.toLong * Synth.DatasetLabels.size, "membership is not selective")
   }
 
+  test("S12: a CSV-seeded crawl reproduces the oracle end-to-end") {
+    import spark.implicits._
+    // export the spec world's registry as a publisher CSV (what an
+    // operator's load-sources input looks like), then seed from it
+    val rows = (0 until cfg.nHosts).map { idx =>
+      val h = Synth.hostName(idx)
+      val freq = Option(Synth.frequencyOf(idx)).getOrElse("")
+      f"www.$h,Publisher $idx,$freq,${Synth.sensitivityOf(idx)}," +
+        f"src-$idx%04d,${Synth.statusOf(idx)},${Synth.precheckOf(idx)}"
+    }
+    val csv = Files.createTempFile("sources", ".csv")
+    Files.writeString(csv,
+      ("host,name,frequency,bot_sensitivity,source_id,status,http_precheck" +: rows)
+        .mkString("\n"))
+    val short = cfg.copy(nWaves = 2, sourcesCsv = csv.toString)
+    val store2 = freshStore()
+    new CrawlEngine(spark, short, store2).run()
+    val o = CrawlOracle.run(short.copy(sourcesCsv = null)) // oracle = same world
+    val got = store2.readAll(spark, "results").as[FetchResult].collect()
+      .map(r => CrawlOracle.OracleFetch(r.wave, r.host, r.rank, r.norm_url, r.status))
+      .sortBy(f => (f.wave, f.host, f.rank))
+    assert(got.nonEmpty)
+    assert(got.toSeq == o.fetches.sortBy(f => (f.wave, f.host, f.rank)),
+      "CSV-seeded crawl diverges from the oracle")
+  }
+
   test("politeness is honored: ≤ tokens ≤ 3 fetches per host per wave") {
     import spark.implicits._
     val perHostWave = engineStore.readAll(spark, "results").as[FetchResult]
