@@ -120,9 +120,28 @@ object CrawlExpected {
        GROUP BY 1, 2, 3
        ORDER BY 1, 2, 3"""
 
+  /** q_t3_processing oracle: after C cycles of B-bounded oldest-first
+    * stage batches, a row at processing rank r is labeled iff
+    * r < (C-1)·B, cleaned iff r < C·B, else still extracted — the
+    * closed form of the iterative chain, derived independently here. */
+  private val t3OracleSql: String = {
+    val b = CrawlQueries.T3BatchSize
+    val c = CrawlQueries.T3Cycles
+    s"""WITH ok AS (SELECT norm_url,
+            row_number() OVER (ORDER BY wave, host, rank) - 1 AS ord
+          FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')
+          WHERE status IN ('extracted', 'obituary', 'opinion', 'wire'))
+        SELECT norm_url,
+          CASE WHEN ord < ${(c - 1) * b} THEN 'labeled'
+               WHEN ord < ${c * b} THEN 'cleaned'
+               ELSE 'extracted' END AS article_status
+        FROM ok ORDER BY norm_url"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_x4_content_type" -> x4OracleSql,
     "q_telemetry_http" -> httpTelemetryOracleSql,
+    "q_t3_processing" -> t3OracleSql,
     "q_crawl_results" ->
       "SELECT * FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')",
     "q_crawl_status_counts" ->

@@ -120,6 +120,18 @@ object CrawlQueries {
       .orderBy("norm_url")
   }
 
+  /** T3 processing chain: the fetched articles after 3 bounded
+    * processing cycles (extracted → cleaned → labeled, 100 oldest per
+    * stage per cycle). The DuckDB oracle derives the same end state in
+    * closed form from the processing-order rank. */
+  val T3BatchSize = 100
+  val T3Cycles = 3
+  val qT3Processing: Q = (s, dir) =>
+    graft.crawl.Processing.runCycles(
+      storeFor(s, dir).readAll(s, "results"), T3BatchSize, T3Cycles)
+      .select("norm_url", "article_status")
+      .orderBy("norm_url")
+
   /** Per-(wave, host, http_status) fetch-outcome telemetry (the
     * reference's HTTP status-tracking ops table). The DuckDB oracle
     * recomputes it from the expected results' status column. */
@@ -160,6 +172,7 @@ object CrawlQueries {
     "q_crawl_source_state" -> qCrawlSourceState,
     "q_x4_content_type" -> qX4ContentType,
     "q_telemetry_http" -> qTelemetryHttp,
+    "q_t3_processing" -> qT3Processing,
     "q_image_decode" -> qImageDecode,
     "q_image_thumbs" -> qImageThumbs)
 }

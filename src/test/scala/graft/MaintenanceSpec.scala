@@ -75,4 +75,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(byHost("news.site.org").frequency == "daily")
     assert(srcs.forall(_.source_id.startsWith("src-")))
   }
+
+  test("T3: processing cycles advance extracted → cleaned → labeled, one stage per cycle") {
+    import graft.crawl.Processing
+    // 7 fetched rows in crawl order; B=2, C=3 → ranks 0-3 labeled,
+    // 4-5 cleaned, 6 still extracted (closed form (C-1)B / CB)
+    val results = (0 until 7).map(i => (s"u$i", 0, "h", i + 1, 200))
+      .toDF("norm_url", "wave", "host", "rank", "http_status")
+    val out = Processing.runCycles(results, batchSize = 2, cycles = 3)
+      .select("norm_url", "article_status").as[(String, String)].collect().toMap
+    (0 until 4).foreach(i => assert(out(s"u$i") == "labeled", s"u$i: $out"))
+    (4 until 6).foreach(i => assert(out(s"u$i") == "cleaned", s"u$i: $out"))
+    assert(out("u6") == "extracted")
+    // one stage per cycle: a single cycle can never produce `labeled`
+    val one = Processing.runCycles(results, batchSize = 7, cycles = 1)
+      .select("article_status").as[String].collect()
+    assert(one.toSet == Set("cleaned"))
+    // non-200 rows never enter the chain
+    val mixed = results.unionByName(Seq(("u7", 0, "h", 8, 404))
+      .toDF("norm_url", "wave", "host", "rank", "http_status"))
+    assert(!Processing.runCycles(mixed, 2, 3).select("norm_url")
+      .as[String].collect().contains("u7"))
+  }
+
+  test("M2 over the processing chain: stuckProcessing flags drained-rank laggards") {
+    import graft.crawl.Processing
+    val results = (0 until 7).map(i => (s"u$i", 0, "h", i + 1, 200))
+      .toDF("norm_url", "wave", "host", "rank", "http_status")
+    val processed = Processing.runCycles(results, batchSize = 2, cycles = 3)
+    // healthy chain: every rank below (C-1)B reached `labeled` → no rows
+    assert(Processing.stuckProcessing(processed, 2, 3).count() == 0)
+    // corrupt one drained-rank row back to `cleaned` → flagged
+    val corrupted = processed.withColumn("article_status",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("ord") === 1,
+        "cleaned").otherwise(org.apache.spark.sql.functions.col("article_status")))
+    val stuck = Processing.stuckProcessing(corrupted, 2, 3).collect()
+    assert(stuck.length == 1 && stuck(0).getString(0) == "cleaned" &&
+      stuck(0).getLong(1) == 1L)
+  }
 }
