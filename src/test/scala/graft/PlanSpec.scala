@@ -108,4 +108,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to full sort:\n$p")
     assert(!p.contains("SortMergeJoin"), s"query join degraded to SMJ:\n$p")
   }
+
+  test("q_x4_content_type: pattern table broadcast, no shuffle of the results scan") {
+    val p = plan("q_x4_content_type")
+    // the 1-row collapsed pattern arrays reach the scan as a broadcast
+    // nested-loop (cross of 1 row) — NEVER a shuffled join of results
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"pattern join shuffled the results scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
+  test("dedup connectedComponents: rounds are equi-join + partial agg, no cartesian") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
+    val p = cc.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation degraded to all-pairs:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate in label merge:\n$p")
+    // and the labels are the transitive-closure minima
+    val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
