@@ -50,10 +50,17 @@ object Bench {
       new graft.crawl.CrawlEngine(spark, crawlCfg, store).run()
       ((System.nanoTime() - t0) / 1e9, store)
     }
-    val (crawlSec1, _) = timedCrawl()
-    val (crawlSec2, store2) = timedCrawl()
+    // a failed crawl must not zero the whole artifact: each run is
+    // guarded, and the query suite below still self-crawls via
+    // storeFor if neither store is adoptable
+    val run1 = scala.util.Try(timedCrawl())
+    val run2 = scala.util.Try(timedCrawl())
+    val crawlSec1 = run1.map(_._1).getOrElse(Double.MaxValue)
+    val crawlSec2 = run2.map(_._1).getOrElse(Double.MaxValue)
     val crawlSec = math.min(crawlSec1, crawlSec2)
-    graft.queries.CrawlQueries.register(spark, sfDir, store2)
+    run2.orElse(run1).foreach { case (_, st) =>
+      graft.queries.CrawlQueries.register(spark, sfDir, st)
+    }
     val crawlRows = scala.util.Try(
       SparkEntry.queries("q_crawl_results")(spark, sfDir).count()).getOrElse(-1L)
     val crawlDiscovered = scala.util.Try(
