@@ -170,18 +170,6 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     writes.foreach(Await.result(_, Duration.Inf))
   }
 
-  /** Tables that are IMMUTABLE for the lifetime of a run (written once
-    * at init, never rewritten by a wave): cached once per engine, so a
-    * wave's DAGs stop re-reading their manifests + parquet on every
-    * job that joins them (due scan, precheck flag, robots gate,
-    * crawl-delay join — several scan stages per wave otherwise). */
-  private lazy val sourcesDf: DataFrame = store.read(spark, "sources").cache()
-  private lazy val robotsDf: DataFrame = store.read(spark, "robots").cache()
-  /** F9 wire patterns collapsed to a 1-row array, cached: the verify
-    * chain broadcast-crosses this every wave. */
-  private lazy val wirePatsRow: DataFrame = store.read(spark, "wire_patterns")
-    .agg(collect_list(col("pattern")).as("wire_pats")).cache()
-
   /** X4 pattern rows, loaded from the content_patterns TABLE once per
     * engine (tiny: pattern-cardinality) and broadcast into the fetch
     * stage — the DB-driven shape of the reference's detector. */
@@ -224,7 +212,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // (broadcast — the scope table is dataset×source cardinality).
     // Only the DUE scan is scoped; state rewrites keep every source's
     // row (allSources), so out-of-scope state is preserved untouched.
-    val allSources = sourcesDf.as[Source]
+    val allSources = store.read(spark, "sources").as[Source]
     val sources = (Option(cfg.datasetScope) match {
       case None => allSources.toDF()
       case Some(scope) =>
@@ -234,7 +222,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           Seq("source_id"), "left_semi")
     }).as[Source]
     val state = store.read(spark, "source_state").as[SourceState]
-    val robots = robotsDf
+    val robots = store.read(spark, "robots")
 
     // ---- 1. due sources (F11 + F12 gates, join-based — no driver map);
     // the A5 method order is decided here from the per-source
@@ -361,7 +349,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // one-row array and broadcast-crossed in — an any-match HOF, the
     // same shape as the robots rule join, and the pattern list never
     // bakes into generated code.
-    val wirePats = broadcast(wirePatsRow)
+    val wirePats = broadcast(store.read(spark, "wire_patterns")
+      .agg(collect_list(col("pattern")).as("wire_pats")))
     // HTTP precheck stage (url_verification.py:218-347): candidates that
     // survive the wire + pattern tiers hit the HEAD/GET health check; an
     // exhausted precheck is terminal `verification_failed` when the
