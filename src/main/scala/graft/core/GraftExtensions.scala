@@ -16,25 +16,46 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     .config("spark.sql.extensions", "graft.core.GraftExtensions")
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.Functions
 
-  private def reg(ext: SparkSessionExtensions, name: String,
-                  build: Expression => Expression, usage: String): Unit =
-    ext.injectFunction((
-      FunctionIdentifier(name),
-      new ExpressionInfo("graft.core", name, usage),
-      (args: Seq[Expression]) => {
-        require(args.length == 1, s"$name expects exactly one argument")
-        build(args.head)
-      }))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Functions.foreach { case (name, usage, build) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.core", name, usage),
+        build))
+    }
+}
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    reg(ext, "normalize_url", NormalizeUrl,
-      "normalize_url(url) - frontier dedup key (strip query/fragment, trim trailing /)")
-    reg(ext, "canonical_host", CanonicalHost,
-      "canonical_host(url_or_host) - lowercased host, www/port/credentials stripped")
-    reg(ext, "is_valid_url", IsValidUrl,
-      "is_valid_url(url) - scheme in {http,https} and nonempty netloc")
-    reg(ext, "check_is_article", CheckIsArticle,
-      "check_is_article(url) - conservative positive article-URL classifier")
+object GraftExtensions {
+
+  private def unary(name: String, build: Expression => Expression)
+  : Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"$name expects exactly one argument")
+    build(args.head)
   }
+
+  /** (name, usage, builder) — the registered SQL surface. */
+  val Functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("normalize_url",
+      "normalize_url(url) - frontier dedup key (strip query/fragment, trim trailing /)",
+      unary("normalize_url", NormalizeUrl)),
+    ("canonical_host",
+      "canonical_host(url_or_host) - lowercased host, www/port/credentials stripped",
+      unary("canonical_host", CanonicalHost)),
+    ("is_valid_url",
+      "is_valid_url(url) - scheme in {http,https} and nonempty netloc",
+      unary("is_valid_url", IsValidUrl)),
+    ("check_is_article",
+      "check_is_article(url) - conservative positive article-URL classifier",
+      unary("check_is_article", CheckIsArticle)))
+
+  /** Attach the same functions to an ALREADY-RUNNING session (a
+    * notebook, or a shared test JVM where `withExtensions` cannot take
+    * effect because the session pre-exists). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Functions.foreach { case (name, usage, build) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name,
+        new ExpressionInfo("graft.core", name, usage), build)
+    }
 }

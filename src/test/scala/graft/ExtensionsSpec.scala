@@ -8,12 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * agree with the shared kernels. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .withExtensions(new graft.core.GraftExtensions)
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // getOrCreate may return another suite's session (shared test JVM),
+  // where withExtensions cannot apply — attach via register(), the
+  // same builders the extensions inject
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.core.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.core.GraftExtensions.register(s)
+    s
+  }
 
   test("injected SQL functions match the kernels") {
     val url = "https://www.Host-0001.example/stories/a-1?utm=rss#frag"
