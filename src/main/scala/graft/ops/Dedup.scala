@@ -111,8 +111,12 @@ object Dedup {
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().cache()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+    // seed with min(self, direct neighbors) — one aggregation instead
+    // of a distinct, and it fully converges pair/clique components (the
+    // common near-dup cluster shape), so those graphs finish after one
+    // convergence check instead of a propagation round + check
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(least(col("a"), min(col("b"))).as("label")).cache()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
