@@ -22,12 +22,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     Functions.foreach { case (name, usage, build) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.core", name, usage),
+        GraftExtensions.info(name, usage),
         build))
     }
 }
 
 object GraftExtensions {
+
+  /** DESCRIBE FUNCTION metadata: the 3-arg ExpressionInfo constructor
+    * is (className, db, name) — registering usage there puts the usage
+    * string where the NAME belongs; use the explicit-usage overload. */
+  private[core] def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[NormalizeUrl].getPackage.getName + "." + name,
+      null, name, usage, "")
 
   private def unary(name: String, build: Expression => Expression)
   : Seq[Expression] => Expression = { args =>
@@ -56,6 +63,6 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Functions.foreach { case (name, usage, build) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name,
-        new ExpressionInfo("graft.core", name, usage), build)
+        info(name, usage), build)
     }
 }

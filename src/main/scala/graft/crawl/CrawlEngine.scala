@@ -240,10 +240,27 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           st.discovered_sections)
       }.cache()
 
-    // buckets this wave can touch — from the due hosts (host-cardinality,
-    // collapses to ≤ nBuckets ints). Drives seen/bloom scan pruning.
+    // ONE pre-stage job for both bucket sets the wave needs: the due
+    // hosts' buckets (seen/bloom scan pruning) and the politeness-
+    // available hosts' buckets (plan backlog scan pruning). Each is
+    // host-cardinality collapsing to ≤ nBuckets ints; computing them in
+    // a single tagged union halves the wave's driver-blocking pre-stage
+    // actions, and the same action materializes the `due` and
+    // `availHosts` caches every later stage reuses.
+    val waveSec = cfg.waveSeconds
+    val availHosts = politeness
+      .filter(st => Politeness.available(st, wave, waveSec))
+      .map(st => (st.host, st.tokens_per_wave))
+      .toDF("p_host", "tokens")
+      .cache() // scanned twice: bucket agg + ranking join
+    val bucketTags: Array[(Int, Int)] = due
+      .map(d => (0, gf.hostBucketJvm(d.host_norm, nb)))
+      .toDF("t", "b")
+      .unionByName(availHosts.select(lit(1).as("t"),
+        pmod(xxhash64(col("p_host")), lit(nb.toLong)).cast("int").as("b")))
+      .distinct().as[(Int, Int)].collect()
     val touched: Seq[Int] =
-      due.map(d => gf.hostBucketJvm(d.host_norm, nb)).distinct().collect().toSeq.sorted
+      bucketTags.collect { case (0, b) => b }.toSeq.sorted
 
     // ---- 2. discovery: per-source method cascade (S5/S6/S13 + U1 +
     // A5) ---- methods run in the effectiveness-gated attempt order
@@ -429,21 +446,14 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // with tokens this wave can be planned, so no other bucket's
     // backlog is read, and nothing is cached — the only materialized
     // plan product is the (≤ tokens·hosts)-row planned set below.
-    val waveSec = cfg.waveSeconds
     // (host, tokens) STAYS a DataFrame: the ranking join takes it under
     // AQE (broadcast at working scales, shuffle join beyond — a
     // 10^8-host politeness table must never materialize on the driver).
-    // Only the BUCKET set is collected for the manifest-pruned backlog
-    // scan: distinct host_bucket ints, ≤ nBuckets values regardless of
-    // host count.
-    val availHosts = politeness
-      .filter(st => Politeness.available(st, wave, waveSec))
-      .map(st => (st.host, st.tokens_per_wave))
-      .toDF("p_host", "tokens")
-      .cache() // scanned twice: bucket agg + ranking join
-    val availBuckets: Seq[Int] = availHosts
-      .select(pmod(xxhash64(col("p_host")), lit(nb.toLong)).cast("int").as("b"))
-      .distinct().as[Int].collect().toSeq.sorted
+    // Only the BUCKET set reaches the driver (collected in the fused
+    // pre-stage job above): distinct host_bucket ints, ≤ nBuckets
+    // values regardless of host count.
+    val availBuckets: Seq[Int] =
+      bucketTags.collect { case (1, b) => b }.toSeq.sorted
     val log = store.readBuckets(spark, "frontier", availBuckets)
     val dRows = log
       .filter(!col("is_update") && col("status").isin("article", "404"))
@@ -651,28 +661,33 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       store.replaceBuckets(merged.toDF(), "seen_bloom", wave, "bucket",
         lineage = s"wave $wave touched buckets")
     })
-    val fPoliteness = Future(timed("write_politeness", wave) {
-      store.write(politenessNext.toDF().coalesce(hostFiles), "politeness", wave)
-    })
-    val fState = Future(timed("write_state", wave) {
-      store.write(stateToWrite.coalesce(hostFiles), "source_state", wave)
-    })
-    val fTelemetry = Future(timed("write_telemetry", wave) {
-      store.appendDelta(telemetry.coalesce(hostFiles), "telemetry", wave)
-    })
     // per-(host, http_status) outcome telemetry (telemetry_orm.py:33-277):
     // a second projection of the already-cached results — column
     // pruning keeps the payload bytes out of this exchange too
-    val fHttpTelemetry = Future(timed("write_telemetry_http", wave) {
-      store.appendDelta(
-        results.toDF().groupBy(col("host"), col("http_status"))
-          .agg(count(lit(1)).as("n"))
-          .crossJoin(params) // wave as a parameter column, not a literal
-          .select(col("cur_wave").as("wave"), col("host"), col("http_status"), col("n"))
-          .coalesce(hostFiles),
-        "telemetry_http", wave, lineage = s"wave $wave http outcomes")
+    val httpTelemetry = results.toDF().groupBy(col("host"), col("http_status"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(params) // wave as a parameter column, not a literal
+      .select(col("cur_wave").as("wave"), col("host"), col("http_status"), col("n"))
+    // the four host-or-less-cardinality state tables commit in ONE
+    // fused Spark job (one tagged union, one parquet pass, per-table
+    // manifest registration) — per-wave driver cost is one job launch
+    // instead of four, the parallelism-resistant serial tail the
+    // north-rule scaling bar is sensitive to. All four legs read only
+    // this wave's caches (results/perSource/due) plus the tiny
+    // politeness/state snapshots.
+    import graft.store.SnapshotStore.FusedPart
+    val fStateTables = Future(timed("write_state_fused", wave) {
+      store.writeFused(Seq(
+        FusedPart("politeness", politenessNext.toDF().coalesce(hostFiles),
+          append = false, lineage = s"wave $wave politeness"),
+        FusedPart("source_state", stateToWrite.coalesce(hostFiles),
+          append = false, lineage = s"wave $wave discovery state"),
+        FusedPart("telemetry", telemetry.coalesce(hostFiles),
+          append = true, lineage = s"wave $wave method telemetry"),
+        FusedPart("telemetry_http", httpTelemetry.coalesce(hostFiles),
+          append = true, lineage = s"wave $wave http outcomes")), wave)
     })
-    Seq(fFrontier, fBloom, fPoliteness, fState, fTelemetry, fHttpTelemetry)
+    Seq(fFrontier, fBloom, fStateTables)
       .foreach(Await.result(_, Duration.Inf))
 
     // all counters come from observations riding the write actions

@@ -108,30 +108,70 @@ object Dedup {
     * either way. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // one action materializes the (possibly expensive) upstream pair
+    // chain AND sizes the iteration: every later round runs over the
+    // checkpointed label set at a partition count matched to the graph
+    // (~500k edges/partition), not the session shuffle default — for
+    // near-dup graphs (thousands of edges) that is ONE partition, so a
+    // propagation round is a single local task instead of 32 scheduled
+    // shuffles
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
+    val nEdges = edges.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 500000L).toInt))
+    val edgesP = (if (parts == 1) edges.coalesce(1)
+                  else edges.repartition(parts, col("b"))).cache()
     // seed with min(self, direct neighbors) — one aggregation instead
     // of a distinct, and it fully converges pair/clique components (the
     // common near-dup cluster shape), so those graphs finish after one
     // convergence check instead of a propagation round + check
-    var labels = edges.groupBy(col("a").as("node"))
-      .agg(least(col("a"), min(col("b"))).as("label")).cache()
+    var labels = edgesP.groupBy(col("a").as("node"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .repartition(parts, col("node")).localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val prop = edges.join(labels, edges("b") === labels("node"))
-        .select(edges("a").as("node"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("node").agg(min("label").as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") < col("prev")).count()
-      labels.unpersist()
-      labels = next
+      // each round is ONE job: the eager localCheckpoint materializes
+      // the round (cutting the recompute lineage) and fills the
+      // Observation the convergence test reads — no separate
+      // driver-blocking count() per round
+      val (round, obs) = ccRound(edgesP, labels, parts)
+      labels = round.localCheckpoint()
+      changed = obs.get("changed").asInstanceOf[Long]
       it += 1
     }
-    edges.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(graph diameter exceeds the bound) — labels would be wrong")
+    edgesP.unpersist()
     labels.select(col("node").as("doc"), col("label").as("component_id"))
+  }
+
+  /** One min-label propagation round: neighbors' labels equi-joined in,
+    * merged with the node's own label by a partial-aggregating min. The
+    * convergence test rides the SAME aggregation as an Observation
+    * (each node's previous label is carried through the agg; changed =
+    * #nodes whose label fell), so a round costs exactly one job and no
+    * extra driver action. Exposed for PlanSpec's shape assertions. */
+  private[graft] def ccRound(edgesP: DataFrame, labels: DataFrame, parts: Int)
+  : (DataFrame, org.apache.spark.sql.Observation) = {
+    val prop = edgesP.join(labels, edgesP("b") === labels("node"))
+      .select(edgesP("a").as("node"), col("label"),
+        lit(null).cast("long").as("prev_tag"))
+    val merged = labels.select(col("node"), col("label"), lit(1L).as("prev_tag"))
+      .unionByName(prop)
+    val obs = org.apache.spark.sql.Observation()
+    val next = merged.groupBy("node")
+      .agg(min("label").as("label"),
+        min(when(col("prev_tag").isNotNull, col("label"))).as("prev"))
+      .observe(obs,
+        sum(when(col("label") < col("prev"), 1L).otherwise(0L)).as("changed"))
+      .select("node", "label")
+      .repartition(parts, col("node"))
+    (next, obs)
   }
 
   /** SimHash over distinct tokens: md5(token) supplies `bits` bits

@@ -105,16 +105,24 @@ object CrawlQueries {
     * classification independently from the expected results' captions. */
   val qX4ContentType: Q = (s, dir) => {
     val store = storeFor(s, dir)
-    val pats = broadcast(store.read(s, "content_patterns").agg(
-      collect_list(when(col("ptype") === "wire", col("pattern"))).as("wire_p"),
-      collect_list(when(col("ptype") === "obituary", col("pattern"))).as("ob_p"),
-      collect_list(when(col("ptype") === "opinion", col("pattern"))).as("op_p")))
+    // each tier's patterns as (kind, pattern) structs so the HOF
+    // branches on the ROW's kind column exactly like ContentType.detect
+    // — a pattern row with any kind stays query/engine-consistent
+    def tier(t: String) =
+      collect_list(when(col("ptype") === t,
+        struct(col("kind"), col("pattern")))).as(s"${t}_p")
+    val pats = broadcast(store.read(s, "content_patterns")
+      .agg(tier("wire"), tier("obituary"), tier("opinion")))
+    def hit(arr: org.apache.spark.sql.Column) = exists(arr, r =>
+      when(r.getField("kind") === "prefix",
+        startswith(lower(col("caption")), r.getField("pattern")))
+        .otherwise(contains(lower(col("caption")), r.getField("pattern"))))
     store.readAll(s, "results").filter(col("http_status") === 200)
       .crossJoin(pats)
       .withColumn("content_type",
-        when(exists(col("wire_p"), p => contains(lower(col("caption")), p)), lit("wire"))
-          .when(exists(col("ob_p"), p => contains(lower(col("caption")), p)), lit("obituary"))
-          .when(exists(col("op_p"), p => startswith(lower(col("caption")), p)), lit("opinion"))
+        when(hit(col("wire_p")), lit("wire"))
+          .when(hit(col("obituary_p")), lit("obituary"))
+          .when(hit(col("opinion_p")), lit("opinion"))
           .otherwise(lit("extracted")))
       .select("norm_url", "content_type")
       .orderBy("norm_url")

@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * won't normalize. */
 object SourceCsv {
 
+  /** An operator-supplied source_id is reusable only in the engine's
+    * canonical form `src-<int>` with the int fitting a nonnegative
+    * Int32 — anything else would throw in the due scan's
+    * `stripPrefix("src-").toInt`. */
+  private[sources] def conformingId(sid: String): Boolean =
+    sid != null && sid.startsWith("src-") && {
+      val d = sid.stripPrefix("src-")
+      d.nonEmpty && d.length <= 10 && d.forall(_.isDigit) && d.toLong <= Int.MaxValue
+    }
+
   /** Expected columns: host, name, frequency, bot_sensitivity
     * (missing politeness fields default per the reference: sensitivity
     * 5 = moderate). Optional columns an operator's export may carry:
@@ -36,7 +46,12 @@ object SourceCsv {
       .flatMap { case (host, name, freq, sens, sid, status, precheck) =>
         Option(UrlKernels.canonicalHost(host)).map { norm =>
           Source(
-            source_id = Option(sid).getOrElse(
+            // the engine requires ids of the exact form src-<int>
+            // (host_idx parses out of the id in the due scan and fetch
+            // resolver); a non-conforming operator-supplied id is
+            // re-derived from the normalized host — still stable across
+            // re-imports, and it can never throw at runtime
+            source_id = Option(sid).filter(conformingId).getOrElse(
               f"src-${UrlKernels.urlHash64(norm) & 0x7fffffff}%010d"),
             host = host,
             host_norm = norm,

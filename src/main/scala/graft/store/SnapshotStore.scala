@@ -30,7 +30,16 @@ import scala.util.Using
   * artifacts (src/pipeline/io_utils.py:72-185); at cluster scale the
   * rename is an object-store manifest swap, and the data files are
   * immutable appends, exactly like Iceberg snapshots. */
+object SnapshotStore {
+  /** One logical table's slice of a fused multi-table write
+    * ([[SnapshotStore.writeFused]]): `append` = delta-commit semantics
+    * (prior files carried by reference), else full-snapshot rewrite. */
+  final case class FusedPart(table: String, df: DataFrame, append: Boolean,
+                             lineage: String = "")
+}
+
 final class SnapshotStore(val root: String) {
+  import SnapshotStore.FusedPart
 
   /** bucket → data files (table-relative paths); -1 = unbucketed. */
   type FileMap = Map[Int, Seq[String]]
@@ -193,6 +202,68 @@ final class SnapshotStore(val root: String) {
                   bucketCol: Option[String] = None, lineage: String = ""): Int =
     appendSnap(table, wave, lineage, (_, prior) => prior, df, bucketCol)
 
+  /** Write several SMALL (host-or-less cardinality) tables' wave output
+    * in ONE Spark job: each part's rows are wrapped in a per-table
+    * struct column, tagged, unioned, and written once partitioned by
+    * the table tag — then each table's manifest registers just its own
+    * partition's files (as `../_fused/...` relative paths). Per-wave
+    * driver cost collapses from one job launch per state table to one
+    * total; reads stay per-table and column-pruned (a fused file's
+    * other-table struct columns are all-null and never deserialized,
+    * and the `__tbl` partition split means each listed file holds only
+    * its own table's rows). On crash rollback the orphaned fused files
+    * are simply no longer referenced by any manifest (data files are
+    * immutable; the manifest is the source of truth, as in Iceberg). */
+  def writeFused(parts: Seq[FusedPart], wave: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    require(parts.nonEmpty, "writeFused needs at least one part")
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    parts.foreach { p =>
+      require(Files.exists(schemaPath(p.table)),
+        s"fused write requires a pinned schema for '${p.table}' (init first)")
+      require(shape(p.df.schema) == shape(tableSchema(p.table)),
+        s"schema drift for table '${p.table}': writing ${p.df.schema.simpleString}, " +
+          s"pinned ${tableSchema(p.table).simpleString}")
+    }
+    val branches = parts.map { p =>
+      val cols = parts.map { q =>
+        if (q.table == p.table) struct(p.df.columns.map(col): _*).as(s"__c_${q.table}")
+        else lit(null).cast(StructType(q.df.schema.fields)).as(s"__c_${q.table}")
+      }
+      p.df.select(lit(p.table).as("__tbl") +: cols: _*)
+    }
+    val fused = branches.reduce(_ unionByName _)
+    val fusedRoot = Paths.get(root, "_fused")
+    Files.createDirectories(fusedRoot)
+    val next = Using.resource(Files.list(fusedRoot)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("snap-") => n.stripPrefix("snap-").toInt }
+        .foldLeft(-1)(math.max) + 1
+    }
+    val dir = fusedRoot.resolve(f"snap-$next%05d")
+    fused.write.mode(SaveMode.Overwrite).partitionBy("__tbl").parquet(dir.toString)
+    parts.foreach { p =>
+      val sub = dir.resolve(s"__tbl=${p.table}")
+      val td = tableDir(p.table)
+      val written: Seq[String] =
+        if (!Files.exists(sub)) Seq.empty
+        else Using.resource(Files.walk(sub)) { st =>
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => td.relativize(f).toString).toSeq.sorted
+        }
+      val m = parseManifest(p.table).getOrElse(Manifest(-1, Seq.empty))
+      val nid = m.snaps.map(_.id).foldLeft(-1)(math.max) + 1
+      val prior: FileMap =
+        if (!p.append || m.current < 0) Map.empty else snapOf(p.table, m.current).files
+      val files =
+        if (written.isEmpty) prior
+        else prior + (-1 -> (prior.getOrElse(-1, Seq.empty) ++ written))
+      commitManifest(p.table,
+        Manifest(nid, m.snaps :+ Snap(nid, wave, p.lineage, files)))
+    }
+  }
+
   /** Replace exactly the buckets present in `df`; all other buckets are
     * carried by reference from the previous snapshot (bloom bank update,
     * selective compaction). */
@@ -216,13 +287,25 @@ final class SnapshotStore(val root: String) {
   private def readFiles(spark: SparkSession, table: String, files: Seq[String]): DataFrame = {
     val schema = tableSchema(table)
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val td = tableDir(table)
-      spark.read.schema(schema)
-        .option("recursiveFileLookup", "true") // no partition-dir inference
-        .parquet(files.map(f => td.resolve(f).toString): _*)
-    }
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val td = tableDir(table)
+    // fused files (../_fused/...) hold this table's rows wrapped in a
+    // __c_<table> struct column; reading with just that column's schema
+    // prunes every other table's struct at the parquet layer
+    val (fusedF, plainF) = files.partition(_.contains("_fused/"))
+    val reads = Seq(
+      Option.when(plainF.nonEmpty)(
+        spark.read.schema(schema)
+          .option("recursiveFileLookup", "true") // no partition-dir inference
+          .parquet(plainF.map(f => td.resolve(f).toString): _*)),
+      Option.when(fusedF.nonEmpty)(
+        spark.read.schema(StructType(Seq(
+            org.apache.spark.sql.types.StructField(s"__c_$table", schema))))
+          .option("recursiveFileLookup", "true")
+          .parquet(fusedF.map(f => td.resolve(f).toString): _*)
+          .select(schema.fieldNames.map(n => col(s"__c_$table.$n")): _*))
+    ).flatten
+    reads.reduce(_ unionByName _)
   }
 
   def currentSnapshot(table: String): Option[Int] =

@@ -120,13 +120,23 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup connectedComponents: rounds are equi-join + partial agg, no cartesian") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, least, min}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val cc = graft.ops.Dedup.connectedComponents(pairs)
-    val p = cc.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the ROUND dataflow (each round is materialized eagerly inside the
+    // loop, so the final output plan is a checkpoint scan — assert the
+    // shape of one propagation round instead)
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+    val seed = edges.groupBy(col("a").as("node"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+    val (round, _) = graft.ops.Dedup.ccRound(edges, seed, parts = 1)
+    val p = round.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"label propagation degraded to all-pairs:\n$p")
     assert(p.contains("HashAggregate"), s"no hash aggregate in label merge:\n$p")
     // and the labels are the transitive-closure minima
+    val cc = graft.ops.Dedup.connectedComponents(pairs)
     val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
