@@ -148,13 +148,15 @@ object ScalingChild {
       nWaves = math.min(2, nWaves))
     val spark = session(cpus)
     runOnce(spark, warmCfg) // JIT/codegen warm-up, untimed
-    // best-of-2: this sandbox is a shared VM with ±40% run-to-run
-    // noise; the minimum is the machine's actual capability at each
-    // level, measured identically for both
-    val a = runOnce(spark, cfg)
-    val b = runOnce(spark, cfg)
+    // best-of-K (default 2, GRAFT_BEST_OF to raise): this sandbox is a
+    // shared VM with ±40% run-to-run noise; the minimum is the
+    // machine's actual capability at each level, measured with the
+    // IDENTICAL protocol at both levels so the ratio stays fair
+    val bestOf = sys.env.get("GRAFT_BEST_OF").map(_.toInt).getOrElse(2)
+    val runs = (1 to bestOf).map(_ => runOnce(spark, cfg))
     spark.stop()
-    val best = if (a._1 <= b._1) a else b
+    val best = runs.minBy(_._1)
+    System.err.println(s"CHILD-RUNS ${runs.map(_._1).mkString(",")}")
     println(s"CHILD ${best._1} ${best._2} ${best._3}")
   }
 }

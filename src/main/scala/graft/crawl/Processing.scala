@@ -48,6 +48,42 @@ object Processing {
     }
   }
 
+  /** The 10^10-row form of [[runCycles]]: the oldest-first rank runs
+    * per SHARD (host_bucket mod nShards) with the batch budget split
+    * evenly, so no stage ever sorts in a single partition — strict
+    * global FIFO relaxes to per-shard FIFO exactly the way any sharded
+    * work queue does (the reference's processor instances drain
+    * per-queue batches the same way,
+    * orchestration/continuous_processor.py:362-412). Each cycle is a
+    * partitionBy(shard, …) window: the plan carries hash-partitioned
+    * exchanges only (PlanSpec asserts no SinglePartition exchange). */
+  def runCyclesSharded(results: DataFrame, batchSize: Int, cycles: Int,
+                       nShards: Int): DataFrame = {
+    require(nShards > 0 && batchSize % nShards == 0,
+      s"batch budget $batchSize must split evenly across $nShards shards")
+    val perShard = batchSize / nShards
+    val base = results
+      .filter(col("http_status") === 200)
+      .withColumn("shard", pmod(col("host_bucket"), lit(nShards)))
+      .withColumn("ord",
+        row_number().over(
+          Window.partitionBy("shard").orderBy("wave", "host", "rank")) - 1)
+      .select(col("norm_url"), col("shard"), col("ord"),
+        lit("extracted").as("article_status"))
+    (1 to cycles).foldLeft(base) { (state, _) =>
+      val ranked = state.withColumn("rn",
+        row_number().over(
+          Window.partitionBy("shard", "article_status").orderBy("ord")))
+      ranked.withColumn("article_status",
+        when(col("article_status") === "extracted" && col("rn") <= perShard,
+          lit("cleaned"))
+          .when(col("article_status") === "cleaned" && col("rn") <= perShard,
+            lit("labeled"))
+          .otherwise(col("article_status")))
+        .drop("rn")
+    }
+  }
+
   /** M2 companion over the PROCESSING state machine: rows still short
     * of `labeled` after the cycles that should have drained them —
     * the 4-state analogue of Maintenance.stuckStates

@@ -15,13 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rows+schema+hash gates. */
 object CrawlExpected {
 
-  /** Expected-table name → builder. Keys align with `q_<name>` query
-    * names: oracle SQL reads `{OUT}/expected_<name>` parquet. */
-  def tables(spark: SparkSession, cfg: Synth.Config): Map[String, DataFrame] = {
+  /** Oracle fetches → the expected results table rows. */
+  private def resultsDfOf(spark: SparkSession, cfg: Synth.Config,
+                          o: CrawlOracle.Outcome): DataFrame = {
     import spark.implicits._
-    val o = CrawlOracle.run(cfg)
-
-    val results = o.fetches.map { f =>
+    o.fetches.map { f =>
       if (CrawlEngine.OkStatuses.contains(f.status)) {
         val id = Synth.idOf(f.normUrl).get
         val img = Synth.imageFor(cfg)(id)
@@ -33,9 +31,44 @@ object CrawlExpected {
           ImageKernels.phash64(decoded), hash)
       } else
         (f.wave, f.host, f.rank, f.normUrl, f.status, "", "", 0, 0, "", 0L, "")
-    }
-    val resultsDf = results.toDF("wave", "host", "rank", "norm_url", "status",
+    }.toDF("wave", "host", "rank", "norm_url", "status",
       "image_id", "fmt", "w", "h", "caption", "phash", "content_hash")
+  }
+
+  private def politenessDfOf(spark: SparkSession, o: CrawlOracle.Outcome): DataFrame = {
+    import spark.implicits._
+    o.politeness.values.toSeq
+      .map(p => (p.host, p.bot_sensitivity, p.tokens_per_wave,
+        p.consecutive_failures, p.bot_encounters, p.forbidden_count))
+      .toDF("host", "bot_sensitivity", "tokens_per_wave",
+        "consecutive_failures", "bot_encounters", "forbidden_count")
+  }
+
+  private def sourceStateDfOf(spark: SparkSession, o: CrawlOracle.Outcome): DataFrame = {
+    import spark.implicits._
+    o.sourceStates.values.toSeq
+      .map(s => (s.source_id, s.last_wave, s.rss_consecutive_failures,
+        s.rss_failure_waves.sorted.mkString(","), s.rss_missing_wave,
+        s.no_effective_consecutive, s.paused_auto, s.last_successful_method,
+        s.discovered_sections.mkString(","),
+        s.rss_attempts, s.rss_successes, s.homepage_attempts, s.homepage_successes))
+      .toDF("source_id", "last_wave", "rss_consecutive_failures",
+        "rss_failure_waves", "rss_missing_wave", "no_effective_consecutive",
+        "paused_auto", "last_successful_method", "discovered_sections",
+        "rss_attempts", "rss_successes", "homepage_attempts", "homepage_successes")
+  }
+
+  /** Expected-table name → builder. Keys align with `q_<name>` query
+    * names: oracle SQL reads `{OUT}/expected_<name>` parquet. */
+  def tables(spark: SparkSession, cfg: Synth.Config): Map[String, DataFrame] = {
+    import spark.implicits._
+    val o = CrawlOracle.run(cfg)
+    // independent scoped run: the same world restricted to one dataset
+    // label — backs the q_crawl_scoped_* gates
+    val oScoped = CrawlOracle.run(
+      cfg.copy(datasetScope = CrawlQueries.ScopedDataset))
+
+    val resultsDf = resultsDfOf(spark, cfg, o)
 
     val okImages = o.fetches.filter(f => CrawlEngine.OkStatuses.contains(f.status))
       .map { f =>
@@ -57,21 +90,19 @@ object CrawlExpected {
         .groupBy(r => gf.hostBucketJvm(r.host, cfg.nBuckets))
         .map { case (b, rs) => (b, rs.size.toLong) }.toSeq
         .toDF("host_bucket", "n_seen"),
-      "crawl_politeness" -> o.politeness.values.toSeq
-        .map(p => (p.host, p.bot_sensitivity, p.tokens_per_wave,
-          p.consecutive_failures, p.bot_encounters, p.forbidden_count))
-        .toDF("host", "bot_sensitivity", "tokens_per_wave",
-          "consecutive_failures", "bot_encounters", "forbidden_count"),
-      "crawl_source_state" -> o.sourceStates.values.toSeq
-        .map(s => (s.source_id, s.last_wave, s.rss_consecutive_failures,
-          s.rss_failure_waves.sorted.mkString(","), s.rss_missing_wave,
-          s.no_effective_consecutive, s.paused_auto, s.last_successful_method,
-          s.discovered_sections.mkString(","),
-          s.rss_attempts, s.rss_successes, s.homepage_attempts, s.homepage_successes))
-        .toDF("source_id", "last_wave", "rss_consecutive_failures",
-          "rss_failure_waves", "rss_missing_wave", "no_effective_consecutive",
-          "paused_auto", "last_successful_method", "discovered_sections",
-          "rss_attempts", "rss_successes", "homepage_attempts", "homepage_successes"),
+      "crawl_politeness" -> politenessDfOf(spark, o),
+      "crawl_source_state" -> sourceStateDfOf(spark, o),
+      // merged frontier end state — backs the M1/M2 maintenance gates
+      // (the engine side recomputes from frontierCurrent; the oracle SQL
+      // filters/aggregates this independently-built dump)
+      "crawl_frontier" -> o.frontier
+        .map(r => (r.normUrl, r.sourceId, r.status, r.discoveredWave,
+          r.processedWave, r.httpStatus))
+        .toDF("norm_url", "source_id", "status", "discovered_wave",
+          "processed_wave", "http_status"),
+      "crawl_scoped_results" -> resultsDfOf(spark, cfg, oScoped),
+      "crawl_scoped_politeness" -> politenessDfOf(spark, oScoped),
+      "crawl_scoped_source_state" -> sourceStateDfOf(spark, oScoped),
       "image_decode" -> decode,
       "image_thumbs" -> thumbs)
   }
@@ -138,7 +169,34 @@ object CrawlExpected {
         FROM ok ORDER BY norm_url"""
   }
 
+  /** M1/M2 oracles: DuckDB recomputes the maintenance filter+agg from
+    * the independently-built expected frontier dump. The current wave
+    * is derived from the data (max discovered_wave + 1 == nWaves: the
+    * last wave always discovers), keeping the SQL scale-independent.
+    * Engine-side parameters: M1 maxAgeWaves = 1, M2 stallWaves = 2. */
+  private val m1OracleSql: String =
+    """WITH f AS (SELECT * FROM read_parquet('{OUT}/expected_crawl_frontier/*.parquet')),
+       cur AS (SELECT MAX(discovered_wave) AS maxw FROM f)
+       SELECT source_id, COUNT(*) AS n_stale, MIN(discovered_wave) AS oldest_wave
+       FROM f, cur WHERE status = 'article' AND discovered_wave < maxw
+       GROUP BY source_id ORDER BY source_id"""
+
+  private val m2OracleSql: String =
+    """WITH f AS (SELECT * FROM read_parquet('{OUT}/expected_crawl_frontier/*.parquet')),
+       cur AS (SELECT MAX(discovered_wave) AS maxw FROM f)
+       SELECT status, COUNT(*) AS n_stuck, MIN(discovered_wave) AS oldest_wave
+       FROM f, cur WHERE status IN ('discovered', 'article') AND discovered_wave <= maxw - 1
+       GROUP BY status ORDER BY status"""
+
   val oracle: Map[String, String] = Map(
+    "q_m1_stale_breakdown" -> m1OracleSql,
+    "q_m2_stuck_states" -> m2OracleSql,
+    "q_crawl_scoped_results" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_crawl_scoped_results/*.parquet')",
+    "q_crawl_scoped_politeness" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_crawl_scoped_politeness/*.parquet')",
+    "q_crawl_scoped_source_state" ->
+      "SELECT * FROM read_parquet('{OUT}/expected_crawl_scoped_source_state/*.parquet')",
     "q_x4_content_type" -> x4OracleSql,
     "q_telemetry_http" -> httpTelemetryOracleSql,
     "q_t3_processing" -> t3OracleSql,

@@ -50,14 +50,39 @@ object CrawlQueries {
       store
     })
 
+  /** Dataset label the scoped-run gate crawls under (J1 N:M scoping —
+    * reference src/models/__init__.py:492-630: a run restricted to one
+    * dataset's seed list; state rewrites still carry EVERY source). */
+  val ScopedDataset = "ds-regional"
+
+  // the scoped run is its own (smaller) crawl: same world, due scan
+  // semi-joined to the scope's sources
+  private val scopedStores = TrieMap.empty[String, SnapshotStore]
+  private def scopedStoreFor(spark: SparkSession, dir: String): SnapshotStore =
+    scopedStores.getOrElseUpdate(dir, {
+      val store = new SnapshotStore(
+        java.nio.file.Files.createTempDirectory("graft-crawl-scoped").toString)
+      val cfg = cfgFor(dir).copy(datasetScope = ScopedDataset)
+      new CrawlEngine(spark, cfg, store).run()
+      CrawlEngine.compactForRead(spark, store, cfg.nBuckets)
+      store
+    })
+
   type Q = (SparkSession, String) => DataFrame
 
-  /** Flagship: the fetched image+caption results with crawl order. */
-  val qCrawlResults: Q = (s, dir) =>
-    storeFor(s, dir).readAll(s, "results")
+  private def resultsOf(store: SnapshotStore, s: SparkSession): DataFrame =
+    store.readAll(s, "results")
       .select("wave", "host", "rank", "norm_url", "status", "image_id",
         "fmt", "w", "h", "caption", "phash", "content_hash")
       .orderBy("wave", "host", "rank")
+
+  /** Flagship: the fetched image+caption results with crawl order. */
+  val qCrawlResults: Q = (s, dir) => resultsOf(storeFor(s, dir), s)
+
+  /** The same crawl restricted to one dataset's seed list (J1 N:M
+    * scoping): only the scope's sources are due, so the fetched set —
+    * and every downstream state table — must match the scoped oracle. */
+  val qCrawlScopedResults: Q = (s, dir) => resultsOf(scopedStoreFor(s, dir), s)
 
   /** Frontier status histogram (A2 over the real state machine) —
     * merge-on-read current view over the delta log. */
@@ -75,19 +100,24 @@ object CrawlQueries {
       .groupBy("host_bucket").agg(count(lit(1)).as("n_seen"))
       .orderBy("host_bucket")
 
-  /** Politeness end-state: the sensitivity ladder + cooldowns after the
-    * fault schedule has run (T5/T6). */
-  val qCrawlPoliteness: Q = (s, dir) =>
-    storeFor(s, dir).read(s, "politeness")
+  private def politenessOf(store: SnapshotStore, s: SparkSession): DataFrame =
+    store.read(s, "politeness")
       .select("host", "bot_sensitivity", "tokens_per_wave",
         "consecutive_failures", "bot_encounters", "forbidden_count")
       .orderBy("host")
 
-  /** Per-source discovery state (F12/F13/M4 surface): ledger, pause
-    * counter, sections. Arrays exported as sorted CSV strings so the
-    * DuckDB hash compare is representation-stable. */
-  val qCrawlSourceState: Q = (s, dir) =>
-    storeFor(s, dir).read(s, "source_state")
+  /** Politeness end-state: the sensitivity ladder + cooldowns after the
+    * fault schedule has run (T5/T6). */
+  val qCrawlPoliteness: Q = (s, dir) => politenessOf(storeFor(s, dir), s)
+
+  /** Scoped-run politeness: only the scope's hosts accumulate fault
+    * history, so the table proves the due scan (not the state rewrite)
+    * is what scoping restricts. */
+  val qCrawlScopedPoliteness: Q = (s, dir) =>
+    politenessOf(scopedStoreFor(s, dir), s)
+
+  private def sourceStateOf(store: SnapshotStore, s: SparkSession): DataFrame =
+    store.read(s, "source_state")
       .select(col("source_id"), col("last_wave"), col("rss_consecutive_failures"),
         array_join(transform(array_sort(col("rss_failure_waves")),
           x => x.cast("string")), ",").as("rss_failure_waves"),
@@ -97,6 +127,18 @@ object CrawlQueries {
         col("rss_attempts"), col("rss_successes"),
         col("homepage_attempts"), col("homepage_successes"))
       .orderBy("source_id")
+
+  /** Per-source discovery state (F12/F13/M4 surface): ledger, pause
+    * counter, sections. Arrays exported as sorted CSV strings so the
+    * DuckDB hash compare is representation-stable. */
+  val qCrawlSourceState: Q = (s, dir) => sourceStateOf(storeFor(s, dir), s)
+
+  /** Scoped-run source state: the rewrite keeps EVERY source's row
+    * (out-of-scope sources stay last_wave = -1) while in-scope sources
+    * advance — the exact N:M scoping semantics of the reference's
+    * datasets ⋈ dataset_sources join. */
+  val qCrawlScopedSourceState: Q = (s, dir) =>
+    sourceStateOf(scopedStoreFor(s, dir), s)
 
   /** X4 as a standalone relational operator: classify every fetched
     * payload's caption with the DB-driven content_patterns table —
@@ -147,6 +189,24 @@ object CrawlQueries {
     storeFor(s, dir).readAll(s, "telemetry_http")
       .orderBy("wave", "host", "http_status")
 
+  /** M1 over the real crawl store: per-source breakdown of the article
+    * backlog stale-expiry would touch (reference
+    * cleanup_candidates.py:38-128 / housekeeping.py:300-316). The
+    * DuckDB oracle recomputes the same filter+agg from the independent
+    * expected_crawl_frontier dump. currentWave = nWaves (the wave after
+    * the run), maxAgeWaves = 1. */
+  val qM1StaleBreakdown: Q = (s, dir) =>
+    graft.crawl.Maintenance.staleBreakdown(
+      CrawlEngine.frontierCurrent(s, storeFor(s, dir)),
+      currentWave = cfgFor(dir).nWaves, maxAgeWaves = 1)
+
+  /** M2 over the real crawl store: non-terminal rows stalled beyond
+    * stallWaves = 2 (reference housekeeping.py:341-486). */
+  val qM2StuckStates: Q = (s, dir) =>
+    graft.crawl.Maintenance.stuckStates(
+      CrawlEngine.frontierCurrent(s, storeFor(s, dir)),
+      currentWave = cfgFor(dir).nWaves, stallWaves = 2)
+
   // decode-ONCE pass shared by q_image_decode and q_image_thumbs: one
   // ImageIO decode per image feeds both feature sets (running the two
   // single-output operators separately would decode everything twice);
@@ -178,8 +238,13 @@ object CrawlQueries {
     "q_crawl_seen_by_bucket" -> qCrawlSeenByBucket,
     "q_crawl_politeness" -> qCrawlPoliteness,
     "q_crawl_source_state" -> qCrawlSourceState,
+    "q_crawl_scoped_results" -> qCrawlScopedResults,
+    "q_crawl_scoped_politeness" -> qCrawlScopedPoliteness,
+    "q_crawl_scoped_source_state" -> qCrawlScopedSourceState,
     "q_x4_content_type" -> qX4ContentType,
     "q_telemetry_http" -> qTelemetryHttp,
+    "q_m1_stale_breakdown" -> qM1StaleBreakdown,
+    "q_m2_stuck_states" -> qM2StuckStates,
     "q_t3_processing" -> qT3Processing,
     "q_image_decode" -> qImageDecode,
     "q_image_thumbs" -> qImageThumbs)

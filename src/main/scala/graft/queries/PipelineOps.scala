@@ -216,6 +216,100 @@ object PipelineOps {
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
        FROM documents ORDER BY doc_id"""
 
+  // ---- X3: byline cleaning / wire detection ----
+  // the byline is synthesized DETERMINISTICALLY from each document's
+  // own words (doc_id selects one of 8 reference byline shapes), so
+  // both engines build the identical input with no external data and
+  // the oracle recomputes the full cleaning rule chain — wire
+  // table/suffix matching, junk removal, separator split, title-word
+  // filter, capitalization, order-preserving dedup — not the id class.
+
+  private def synthBylineCol: org.apache.spark.sql.Column = {
+    val w = split(col("text"), " ")
+    val n1 = initcap(concat_ws(" ", element_at(w, 1), element_at(w, 2)))
+    val n2 = initcap(concat_ws(" ", element_at(w, 3), element_at(w, 4)))
+    val m = pmod(col("doc_id"), lit(8))
+    when(m === 0, concat(lit("By "), n1))
+      .when(m === 1, concat(lit("By "), n1, lit(" and "), n2))
+      .when(m === 2, concat(n1, lit(", Staff Writer")))
+      .when(m === 3, lit("Associated Press"))
+      .when(m === 4, concat(n1, lit(" USA TODAY")))
+      .when(m === 5, concat(lit("By "), n1, lit(" "),
+        lower(regexp_replace(n2, " ", ".")), lit("@example.com")))
+      .when(m === 6, lit("From Reuters"))
+      .otherwise(lit(""))
+  }
+
+  val qX3BylineClean: Q = (s, dir) =>
+    graft.ops.Bylines.clean(
+        t(s, dir, "documents").withColumn("byline", synthBylineCol),
+        "doc_id", "byline")
+      .withColumn("authors_csv", array_join(col("authors"), "; "))
+      .drop("authors")
+      .orderBy("doc_id")
+
+  val sX3BylineClean: String = {
+    import graft.ops.Bylines._
+    val wsVals = WireServices.zipWithIndex
+      .map { case ((k, c), i) => s"(${i + 1}, '$k', '$c')" }.mkString(", ")
+    val sfVals = SyndicatedSuffixes.zipWithIndex
+      .map { case ((r, c), i) => s"(${i + 1}, '\\b$r\\s*$$', '$c')" }.mkString(", ")
+    val titles = TitleWords.map(w => s"'$w'").mkString(", ")
+    // JunkRe holds the regex verbatim (single backslashes); DuckDB ''
+    // literals do no escape processing, so it embeds as-is
+    val junk = JunkRe
+    def cleanSql(x: String) =
+      s"""list_filter(list_transform(
+            str_split_regex(trim(regexp_replace(regexp_replace($x, '$junk', ' ', 'g'), '\\s+', ' ', 'g')),
+              '\\s*(,|\\band\\b|&|\\bwith\\b)\\s*'),
+            p -> array_to_string(list_transform(
+              list_filter(str_split(p, ' '), x -> x <> '' AND NOT list_contains([$titles], x)),
+              x -> upper(x[1]) || substring(x, 2)), ' ')), p -> p <> '')"""
+    s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+       nm AS (SELECT doc_id,
+         array_to_string(list_transform([w[1], w[2]], x -> upper(x[1]) || substring(x, 2)), ' ') AS n1,
+         array_to_string(list_transform([w[3], w[4]], x -> upper(x[1]) || substring(x, 2)), ' ') AS n2
+        FROM d),
+       syn AS (SELECT doc_id, CASE CAST(doc_id % 8 AS INT)
+         WHEN 0 THEN 'By ' || n1
+         WHEN 1 THEN 'By ' || n1 || ' and ' || n2
+         WHEN 2 THEN n1 || ', Staff Writer'
+         WHEN 3 THEN 'Associated Press'
+         WHEN 4 THEN n1 || ' USA TODAY'
+         WHEN 5 THEN 'By ' || n1 || ' ' || lower(replace(n2, ' ', '.')) || '@example.com'
+         WHEN 6 THEN 'From Reuters'
+         ELSE '' END AS byline FROM nm),
+       ws(ord, k, c) AS (VALUES $wsVals),
+       sf(ord, r, c) AS (VALUES $sfVals),
+       base AS (SELECT doc_id, byline,
+         lower(trim(regexp_replace(byline, '\\s+', ' ', 'g'))) AS nb FROM syn),
+       core_t AS (SELECT *, regexp_replace(nb, '^(by|from|source:|-)\\s+', '') AS core FROM base),
+       hits AS (SELECT doc_id, byline, nb, core,
+         (SELECT c FROM ws WHERE core = k OR starts_with(core, k || ' ') ORDER BY ord LIMIT 1) AS exact_c,
+         (SELECT c FROM sf WHERE regexp_matches(core, r) ORDER BY ord LIMIT 1) AS suf_c,
+         (SELECT trim(regexp_replace(core, r, '')) FROM sf WHERE regexp_matches(core, r) ORDER BY ord LIMIT 1) AS suf_before
+        FROM core_t),
+       cl AS (SELECT doc_id, byline, nb, exact_c, suf_c,
+         ${cleanSql("coalesce(suf_before, '')")} AS before_c,
+         ${cleanSql("regexp_replace(nb, '^(written by|story by|report by|by)\\s+', '')")} AS std_c
+        FROM hits),
+       dd AS (SELECT doc_id, byline, nb, exact_c, suf_c,
+         list_filter(before_c, (p, i) -> list_position(before_c, p) = i) AS before_d,
+         list_filter(std_c, (p, i) -> list_position(std_c, p) = i) AS std_d
+        FROM cl)
+       SELECT doc_id,
+         (exact_c IS NOT NULL OR suf_c IS NOT NULL) AS wire_detected,
+         coalesce(exact_c, suf_c) AS wire_service,
+         coalesce(array_to_string(
+           CASE WHEN nb = '' THEN []
+                WHEN exact_c IS NOT NULL THEN [trim(regexp_replace(byline, '\\s+', ' ', 'g'))]
+                WHEN suf_c IS NOT NULL THEN
+                  (CASE WHEN len(before_d) > 0 THEN before_d
+                        ELSE [trim(regexp_replace(byline, '\\s+', ' ', 'g'))] END)
+                ELSE std_d END, '; '), '') AS authors_csv
+       FROM dd ORDER BY doc_id"""
+  }
+
   // seeded-random-hyperplane SRP (full-dimension) + Hamming-1 multiprobe —
   // the production ANN path; recall vs brute force asserted in AnnSpec.
   // Hyperplane coefficients are dyadic rationals, so the decimal
@@ -231,6 +325,40 @@ object PipelineOps {
       }.mkString(" + ")
       s"(CASE WHEN ($dot) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  // multi-table LSH (L independent hyperplane sets, collide-in-ANY
+  // amplification) — the production-ANN recall workhorse; each table's
+  // seed derives from AnnSeed, and each coefficient is dyadic, so the
+  // DuckDB oracle recomputes both tables' buckets bit-identically.
+  private val AnnTables = 2
+  private lazy val annTablePlanes =
+    Similarity.hyperplaneTables(AnnSeed, AnnTables, AnnBits, AnnDim)
+  private def planeBitsSql(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (h, i) =>
+      val dot = h.zipWithIndex.map { case (c, d) =>
+        s"embedding[${d + 1}]*(${java.math.BigDecimal.valueOf(c).toPlainString})"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val qAnnMultitable: Q = (s, dir) =>
+    Similarity.multiTableTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, tables = annTablePlanes)
+  val sAnnMultitable = {
+    val bcols = annTablePlanes.zipWithIndex.map { case (p, i) =>
+      s"CAST(${planeBitsSql(p)} AS BIGINT) AS b$i"
+    }.mkString(", ")
+    val collide = annTablePlanes.indices.map(i => s"b$i = qb$i").mkString(" OR ")
+    val qcols = annTablePlanes.indices.map(i => s"b$i AS qb$i").mkString(", ")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     $bcols FROM embeddings),
+       q AS (SELECT v AS qv, $qcols FROM b WHERE vec_id = 0)
+       SELECT vec_id,
+         floor(list_inner_product(v, qv) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) * 1e4) / 1e4 AS cos
+       FROM b, q WHERE ($collide) AND vec_id <> 0
+       ORDER BY cos DESC, vec_id LIMIT 10"""
+  }
 
   val qAnnSrpBuckets: Q = (s, dir) =>
     t(s, dir, "embeddings")
@@ -279,6 +407,8 @@ object PipelineOps {
     "q_dedup_embedding_cosine" -> qDedupEmbeddingCosine,
     "q_ann_srp_buckets" -> qAnnSrpBuckets,
     "q_ann_srp_multiprobe" -> qAnnSrpMultiprobe,
+    "q_ann_multitable" -> qAnnMultitable,
+    "q_x3_byline_clean" -> qX3BylineClean,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_jaccard" -> qDedupJaccard,
     "q_dedup_minhash_sig" -> qDedupMinhashSig,
@@ -297,6 +427,8 @@ object PipelineOps {
     "q_dedup_embedding_cosine" -> sDedupEmbeddingCosine,
     "q_ann_srp_buckets" -> sAnnSrpBuckets,
     "q_ann_srp_multiprobe" -> sAnnSrpMultiprobe,
+    "q_ann_multitable" -> sAnnMultitable,
+    "q_x3_byline_clean" -> sX3BylineClean,
     "q_dedup_exact" -> sDedupExact,
     "q_dedup_ngram_jaccard" -> sDedupJaccard,
     "q_dedup_minhash_sig" -> sDedupMinhashSig,

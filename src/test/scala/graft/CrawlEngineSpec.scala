@@ -475,4 +475,34 @@ class CrawlEngineSpec extends AnyFunSuite {
     val fN = engineStore.read(spark, "frontier").count()
     assert(f0 > 0 && f0 < fN)
   }
+
+  test("long log: compaction keeps the read-side file count bounded across cycles") {
+    // delta-size invariant: the merge-on-read input depends only on
+    // waves-since-last-compaction, never on TOTAL waves run. Two worlds
+    // that both end one wave past a compaction (compactEvery=3:
+    // 4 waves → compact@2 +1 pending; 7 waves → compact@2,@5 +1
+    // pending) must leave the frontier with the same file count — a
+    // second compaction cycle adds zero net files. Without compaction
+    // the 7-wave log would carry ~3 extra waves of delta files.
+    def logAfter(nWaves: Int): (Int, Long, Long) = {
+      val c = cfg.copy(nWaves = nWaves, compactEvery = 3)
+      val store = freshStore()
+      new CrawlEngine(spark, c, store).run()
+      val files = store.currentFiles("frontier").values.map(_.size).sum
+      val logRows = store.read(spark, "frontier").count()
+      val urls = CrawlEngine.frontierCurrent(spark, store).count()
+      (files, logRows, urls)
+    }
+    val (files4, rows4, urls4) = logAfter(4)
+    val (files7, rows7, urls7) = logAfter(7)
+    // ≤, not ==: auto-paused sources can shrink the later pending
+    // delta's bucket set — the invariant is that 3 more waves add ZERO
+    // net files once a compaction cycle has passed
+    assert(files7 <= files4,
+      s"frontier file count grew across compaction cycles: $files4 → $files7")
+    // and the fold input stays O(frontier + one pending wave's delta):
+    // log-rows per frontier URL must not grow with total waves run
+    assert(rows7.toDouble / urls7 <= rows4.toDouble / urls4 + 0.05,
+      s"log amplification grew: $rows4/$urls4 → $rows7/$urls7")
+  }
 }

@@ -98,6 +98,32 @@ class MaintenanceSpec extends AnyFunSuite {
       .as[String].collect().contains("u7"))
   }
 
+  test("T3 sharded: per-shard FIFO advances with the budget split across shards") {
+    import graft.crawl.Processing
+    // shard = host_bucket mod 2: bucket 0/2 → shard 0 (5 rows),
+    // bucket 1 → shard 1 (3 rows); batch 4 over 2 shards = 2 per shard
+    val rows =
+      (0 until 5).map(i => (s"a$i", 0, "h0", i + 1, if (i % 2 == 0) 0 else 2, 200)) ++
+        (0 until 3).map(i => (s"b$i", 0, "h1", i + 1, 1, 200))
+    val results = rows.toDF("norm_url", "wave", "host", "rank", "host_bucket", "http_status")
+    val out = Processing.runCyclesSharded(results, batchSize = 4, cycles = 3, nShards = 2)
+      .select("norm_url", "article_status").as[(String, String)].collect().toMap
+    // shard 0: per-shard closed form (C-1)·B/s = 4 labeled, 1 cleaned
+    (0 until 4).foreach(i => assert(out(s"a$i") == "labeled", s"a$i: $out"))
+    assert(out("a4") == "cleaned")
+    // shard 1 drains fully: 3 rows < (C-1)·B/s
+    (0 until 3).foreach(i => assert(out(s"b$i") == "labeled", s"b$i: $out"))
+    // degenerate nShards=1 must equal the strict-global form
+    val global = Processing.runCycles(results, batchSize = 4, cycles = 3)
+      .select("norm_url", "article_status").as[(String, String)].collect().toMap
+    val sharded1 = Processing.runCyclesSharded(results, batchSize = 4, cycles = 3, nShards = 1)
+      .select("norm_url", "article_status").as[(String, String)].collect().toMap
+    assert(sharded1 == global)
+    // budget must split evenly
+    intercept[IllegalArgumentException](
+      Processing.runCyclesSharded(results, batchSize = 5, cycles = 1, nShards = 2))
+  }
+
   test("M2 over the processing chain: stuckProcessing flags drained-rank laggards") {
     import graft.crawl.Processing
     val results = (0 until 7).map(i => (s"u$i", 0, "h", i + 1, 200))
