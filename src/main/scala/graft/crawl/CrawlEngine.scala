@@ -253,12 +253,14 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .map(st => (st.host, st.tokens_per_wave))
       .toDF("p_host", "tokens")
       .cache() // scanned twice: bucket agg + ranking join
-    val bucketTags: Array[(Int, Int)] = due
-      .map(d => (0, gf.hostBucketJvm(d.host_norm, nb)))
-      .toDF("t", "b")
-      .unionByName(availHosts.select(lit(1).as("t"),
-        pmod(xxhash64(col("p_host")), lit(nb.toLong)).cast("int").as("b")))
-      .distinct().as[(Int, Int)].collect()
+    val bucketTags: Array[(Int, Int)] = timed("pre_stage", wave) {
+      due
+        .map(d => (0, gf.hostBucketJvm(d.host_norm, nb)))
+        .toDF("t", "b")
+        .unionByName(availHosts.select(lit(1).as("t"),
+          pmod(xxhash64(col("p_host")), lit(nb.toLong)).cast("int").as("b")))
+        .distinct().as[(Int, Int)].collect()
+    }
     val touched: Seq[Int] =
       bucketTags.collect { case (0, b) => b }.toSeq.sorted
 
@@ -709,7 +711,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       rss_failures = stateObs.get("rss_failures").asInstanceOf[Long],
       section_links = telemObs.get("section_links").asInstanceOf[Long],
       paused_sources = stateObs.get("paused_sources").asInstanceOf[Long])
-    store.commitWave(wave,
+    timed("commit", wave)(store.commitWave(wave,
       AllTables.map(t => t -> store.currentSnapshot(t).getOrElse(-1)).toMap,
       Map(
         "discovered" -> metrics.discovered, "duplicates" -> metrics.duplicates,
@@ -719,7 +721,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         "robots_blocked" -> metrics.robots_blocked,
         "rss_failures" -> metrics.rss_failures,
         "section_links" -> metrics.section_links,
-        "paused_sources" -> metrics.paused_sources))
+        "paused_sources" -> metrics.paused_sources)))
 
     // amortized maintenance: compact the delta log back to one row per
     // URL so merge-on-read input stays bounded (Iceberg-style MoR
@@ -752,8 +754,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     * every table back to the last committed wave's pins (a crash
     * mid-wave leaves some tables ahead of the commit), then continues. */
   def run(): Seq[WaveMetrics] = {
-    init()
-    store.recoverToLastCommit(AllTables)
+    timed("init", -1)(init())
+    timed("recover", -1)(store.recoverToLastCommit(AllTables))
     val start = store.lastCommittedWave() + 1
     (start until cfg.nWaves).map(runWave)
   }
