@@ -72,8 +72,14 @@ object ScalingChild {
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}")
       else Seq.empty
+    // stage-level attribution: GRAFT_EVENTLOG=<dir> turns on Spark event
+    // logs in the child (SparkConf reads spark.* system properties), so a
+    // noisy-VM window can still be decomposed into per-stage core-seconds
+    val eventLog = sys.env.get("GRAFT_EVENTLOG").map(dir => Seq(
+      "-Dspark.eventLog.enabled=true", s"-Dspark.eventLog.dir=$dir"))
+      .getOrElse(Seq.empty)
     val cmd = pin ++ Seq(javaBin,
-      s"-XX:ActiveProcessorCount=$cpus",
+      s"-XX:ActiveProcessorCount=$cpus") ++ eventLog ++ Seq(
       s"-XX:+Use${sys.env.getOrElse("GRAFT_GC", "ParallelGC")}",
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
@@ -97,7 +103,7 @@ object ScalingChild {
   private def session(cpus: Int): SparkSession = {
     val localDir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "spark-local")
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
       .config("spark.local.dir", localDir.toString) // tmpfs shuffle
@@ -105,7 +111,15 @@ object ScalingChild {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // probe hook: GRAFT_SPARK_EXTRA="k=v;k2=v2" injects session confs
+    // (A/B attribution of driver-side planning costs; production
+    // defaults above stay authoritative)
+    sys.env.get("GRAFT_SPARK_EXTRA").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -97,77 +97,70 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     store.writeEmpty(Encoders.product[FetchResult].schema, "results", wave = -1)
     store.writeEmpty(Encoders.product[TelemetryRow].schema, "telemetry", wave = -1)
     store.writeEmpty(Encoders.product[HttpTelemetryRow].schema, "telemetry_http", wave = -1)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
     val ws = cfg.waveSeconds
-    val writes = Seq(
-      Future {
-        // S12: a publisher CSV can seed the registry (load-sources CLI,
-        // src/cli/commands/load_sources.py); default is the synth world
-        val seed = Option(cfg.sourcesCsv) match {
-          case Some(path) => graft.sources.SourceCsv.load(spark, path)
-          case None => Synth.sources(spark, cfg)
-        }
-        store.write(seed.toDF().coalesce(hostFiles),
-          "sources", wave = -1,
-          lineage = Option(cfg.sourcesCsv).map(p => s"csv seed: $p")
-            .getOrElse("synth seed registry"))
-      },
-      Future {
-        val robots = spark.range(cfg.nHosts).map { i =>
-          val idx = i.toInt
-          RobotsHost(Synth.hostName(idx), Synth.crawlDelayOf(idx),
-            Synth.robotsRulesOf(idx).map { case (p, a) => RulePrefix(p, a) })
-        }
-        store.write(robots.toDF().coalesce(hostFiles), "robots", wave = -1,
-          lineage = "synth robots, longest-match-sorted (allow wins ties)")
-      },
-      Future {
-        val pol = spark.range(cfg.nHosts).map { i =>
-          val idx = i.toInt
-          Politeness.initial(Synth.hostName(idx), Synth.sensitivityOf(idx),
-            Synth.crawlDelayOf(idx), ws)
-        }
-        store.write(pol.toDF().coalesce(hostFiles), "politeness", wave = -1,
-          lineage = "sensitivity ladder init")
-      },
-      Future {
-        val state = spark.range(cfg.nHosts).map { i =>
-          val idx = i.toInt
-          SourceRules.initial(f"src-$idx%04d", Synth.hostName(idx))
-        }
-        store.write(state.toDF().coalesce(hostFiles), "source_state", wave = -1,
-          lineage = "discovery state init")
-      },
+    // S12: a publisher CSV can seed the registry (load-sources CLI,
+    // src/cli/commands/load_sources.py); default is the synth world
+    val seed = Option(cfg.sourcesCsv) match {
+      case Some(path) => graft.sources.SourceCsv.load(spark, path)
+      case None => Synth.sources(spark, cfg)
+    }
+    val robots = spark.range(cfg.nHosts).map { i =>
+      val idx = i.toInt
+      RobotsHost(Synth.hostName(idx), Synth.crawlDelayOf(idx),
+        Synth.robotsRulesOf(idx).map { case (p, a) => RulePrefix(p, a) })
+    }
+    val pol = spark.range(cfg.nHosts).map { i =>
+      val idx = i.toInt
+      Politeness.initial(Synth.hostName(idx), Synth.sensitivityOf(idx),
+        Synth.crawlDelayOf(idx), ws)
+    }
+    val state = spark.range(cfg.nHosts).map { i =>
+      val idx = i.toInt
+      SourceRules.initial(f"src-$idx%04d", Synth.hostName(idx))
+    }
+    import graft.store.SnapshotStore.FusedPart
+    val parts = Seq(
+      FusedPart("sources", seed.toDF().coalesce(hostFiles), append = false,
+        lineage = Option(cfg.sourcesCsv).map(p => s"csv seed: $p")
+          .getOrElse("synth seed registry")),
+      FusedPart("robots", robots.toDF().coalesce(hostFiles), append = false,
+        lineage = "synth robots, longest-match-sorted (allow wins ties)"),
+      FusedPart("politeness", pol.toDF().coalesce(hostFiles), append = false,
+        lineage = "sensitivity ladder init"),
+      FusedPart("source_state", state.toDF().coalesce(hostFiles), append = false,
+        lineage = "discovery state init"),
       // F9 wire patterns as DB-driven rows (models/__init__.py:351-403),
       // not code constants — the verify gate broadcast-joins this table
-      Future(store.write(
+      FusedPart("wire_patterns",
         Synth.WirePatterns.zipWithIndex
           .map { case (p, i) => (i, p, "wire") }
           .toDF("pattern_order", "pattern", "pattern_type").coalesce(1),
-        "wire_patterns", wave = -1, lineage = "seeded wire-service patterns")),
+        append = false, lineage = "seeded wire-service patterns"),
       // X4 content-classification patterns as DB-driven rows
       // (content_type_detector.py:237-260 loads these from tables) —
       // the fetch stage broadcasts them; no keyword set in engine code
-      Future(store.write(
+      FusedPart("content_patterns",
         Synth.ContentPatterns.zipWithIndex
           .map { case ((t, k, p), i) => (i, t, k, p) }
           .toDF("pattern_order", "ptype", "kind", "pattern").coalesce(1),
-        "content_patterns", wave = -1, lineage = "seeded content-type patterns")),
+        append = false, lineage = "seeded content-type patterns"),
       // dataset dims (models/__init__.py:492-630): datasets + the N:M
       // dataset_sources scope table the due-source scan semi-joins
-      Future(store.write(
+      FusedPart("datasets",
         Synth.DatasetLabels.map(l => (l, s"Dataset $l"))
           .toDF("dataset_id", "canonical_name").coalesce(1),
-        "datasets", wave = -1, lineage = "seeded dataset registry")),
-      Future(store.write(
+        append = false, lineage = "seeded dataset registry"),
+      FusedPart("dataset_sources",
         spark.range(cfg.nHosts).flatMap { i =>
           val idx = i.toInt
           Synth.datasetsOf(idx).map(ds => (ds, f"src-$idx%04d"))
         }.toDF("dataset_id", "source_id").coalesce(hostFiles),
-        "dataset_sources", wave = -1, lineage = "seeded N:M scope table")))
-    writes.foreach(Await.result(_, Duration.Inf))
+        append = false, lineage = "seeded N:M scope table"))
+    // ONE Spark job seeds all eight snapshots (tagged union, one parquet
+    // pass): per-job launch latency is the driver-serial part of init,
+    // so 8 concurrent jobs → 1 job attacks the north-rule serial term
+    parts.foreach(p => store.writeEmpty(p.df.schema, p.table, wave = -1))
+    store.writeFused(parts, wave = -1)
   }
 
   /** X4 pattern rows, loaded from the content_patterns TABLE once per
@@ -180,6 +173,35 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2), r.getString(3)))
       .toSeq)
+
+  /** X5 Bloom bank held across waves as a cached Dataset (executor
+    * memory; the driver never holds a blob). `None` before the first
+    * wave of this engine instance — a resume in a fresh JVM rebuilds
+    * the bank lazily from the frontier's committed discovery rows. */
+  private var bloomBank: Option[Dataset[BloomRow]] = None
+
+  /** The resume path: every admitted URL has exactly one immutable
+    * discovery row in the frontier, so grouping those keys by bucket
+    * reproduces the bank exactly (Bloom bit-arrays are insertion-order-
+    * independent — byte-identical to the incrementally merged bank).
+    * Lazy: no action here; the caller's cogroup evaluates it. */
+  private def rebuildBankFromFrontier(): Dataset[BloomRow] = {
+    import spark.implicits._
+    val cap = bloomCapacityPerBucket
+    val fpp = SeenFpp
+    store.read(spark, "frontier")
+      .filter(!col("is_update"))
+      .select(col("host_bucket"), col("norm_url"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (b, ks) =>
+        val bf = BloomFilter.create(cap, fpp)
+        ks.foreach(k => bf.putString(k._2))
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        BloomRow(b, bos.toByteArray)
+      }
+  }
 
   private val trace = sys.env.get("GRAFT_TRACE").contains("1")
   private def timed[T](label: String, wave: Int)(f: => T): T = {
@@ -317,13 +339,23 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // inside the bucket cogroup that also evaluates the Bloom screen.
     // The Bloom bank stays a bucket-keyed table evaluated executor-side;
     // the driver never holds it.
-    val blooms = store.readBuckets(spark, "seen_bloom", touched).as[BloomRow]
+    // X5 bank: held as a cached Dataset across waves (executor memory —
+    // the driver never sees a blob); the STORE persists it on the final
+    // wave only. A per-wave parquet write would buy nothing: the
+    // frontier's committed discovery rows are the authoritative seen
+    // keys, so crash recovery rebuilds the bank from them lazily (Bloom
+    // bit-arrays are insertion-order-independent, so a rebuilt bank is
+    // byte-identical to the incrementally merged one). Cuts one
+    // bucket-fanout file write + one store read per wave from the
+    // parallelism-resistant tail.
+    val touchedSet = touched.toSet
+    val bankAll = bloomBank.getOrElse(rebuildBankFromFrontier())
+    val blooms = { val ts = touchedSet; bankAll.filter(r => ts.contains(r.bucket)) }
     // F7 invariant the bucket pruning DEPENDS on: every candidate's host
     // equals a due source's host, so its bucket is in `touched`. If a
     // scope rule ever admitted a cross-host link, an untouched bucket's
     // Bloom filter would silently be replaced by a fresh empty one —
     // fail fast instead of corrupting the seen layer.
-    val touchedSet = touched.toSet
     val checked: Dataset[(CandRow, Boolean)] = candidates
       .groupByKey(_.host_bucket)
       .cogroup(blooms.groupByKey(_.bucket)) { (b, cs, bs) =>
@@ -639,29 +671,43 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         lineage = s"wave $wave delta (discovered + outcomes)")
     })
     val fBloom = Future(timed("bloom_merge", wave) {
-      // bucket-co-partitioned merge in executors; only touched buckets
-      // get new files, the rest stay by manifest reference
+      // bucket-co-partitioned merge in executors; touched buckets fold
+      // this wave's keys, untouched rows carry over from the cached bank
       val cap = bloomCapacityPerBucket
       val fpp = SeenFpp
       val newKeys = discovered.select(col("host_bucket"), col("norm_url"))
         .as[(Int, String)]
-      val merged = newKeys.groupByKey(_._1)
+      val mergedTouched = newKeys.groupByKey(_._1)
         .cogroup(blooms.groupByKey(_.bucket)) { (b, ks, olds) =>
-          val bf = olds.nextOption() match {
+          val oldRow = olds.nextOption()
+          val bf = oldRow match {
             case Some(r) => BloomFilter.readFrom(new ByteArrayInputStream(r.bloom))
             case None => BloomFilter.create(cap, fpp)
           }
           var n = 0
           ks.foreach { k => bf.putString(k._2); n += 1 }
-          if (n == 0) Iterator.empty // untouched bucket — keep by reference
+          if (n == 0) oldRow.iterator // no new keys — bloom unchanged
           else {
             val bos = new ByteArrayOutputStream()
             bf.writeTo(bos)
             Iterator.single(BloomRow(b, bos.toByteArray))
           }
         }
-      store.replaceBuckets(merged.toDF(), "seen_bloom", wave, "bucket",
-        lineage = s"wave $wave touched buckets")
+      val ts = touchedSet
+      // localCheckpoint (eager): materializes the bank in executor
+      // storage AND truncates lineage — the bank feeds itself every
+      // wave (cogroup + union), so an ordinary persist would double the
+      // logical plan per wave (analysis/explain blow up exponentially)
+      val nextBank = mergedTouched
+        .union(bankAll.filter(r => !ts.contains(r.bucket)))
+        .localCheckpoint(true)
+      bloomBank.foreach(_.unpersist())
+      bloomBank = Some(nextBank)
+      // the store sees the bank once, at end-of-run — any resume path
+      // rebuilds it from the frontier instead (see bankAll above)
+      if (wave + 1 == cfg.nWaves)
+        store.replaceBuckets(nextBank.toDF(), "seen_bloom", wave, "bucket",
+          lineage = s"final bank after wave $wave")
     })
     // per-(host, http_status) outcome telemetry (telemetry_orm.py:33-277):
     // a second projection of the already-cached results — column
