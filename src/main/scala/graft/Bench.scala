@@ -69,6 +69,13 @@ object Bench {
       .getOrElse(-1L)
     val urlsPerSec = if (crawlSec > 0) crawlDiscovered / crawlSec else 0.0
 
+    // the scoped-run gate needs its OWN engine run (a second, smaller
+    // crawl under a dataset scope); build it here so its cost is
+    // disclosed as an engine-run field, not billed to whichever
+    // q_crawl_scoped_* row the alphabetical query loop hits first
+    val scopedCrawlSec = scala.util.Try(
+      graft.queries.CrawlQueries.ensureScopedStore(spark, sfDir)).getOrElse(-1.0)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -76,10 +83,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + crawlSec
+    val total = results.map(_._2).sum + crawlSec + scopedCrawlSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""crawl_urls_per_sec":$urlsPerSec,"crawl_seconds":$crawlSec,""" +
+        s""""crawl_scoped_seconds":$scopedCrawlSec,""" +
         s""""crawl_seconds_runs":[$crawlSec1,$crawlSec2],""" +
         s""""crawl_discovered":$crawlDiscovered,"crawl_fetched_rows":$crawlRows,""" +
         s""""crawl_world":{"nHosts":${crawlCfg.nHosts},"urlsPerHostPerWave":${crawlCfg.urlsPerHostPerWave},"nWaves":${crawlCfg.nWaves}},""" +

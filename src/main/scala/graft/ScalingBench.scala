@@ -108,7 +108,13 @@ object ScalingChild {
       .appName(s"graft-scaling-$cpus")
       .config("spark.local.dir", localDir.toString) // tmpfs shuffle
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off IN THE SCALING HARNESS ONLY (window-8 probe: −15%
+      // task-CPU, −50% task-GC, 69 fewer stages at 8c): the synthetic
+      // scaling world is uniform by construction, so AQE's per-stage
+      // re-planning is pure driver-serial cost here. The ENGINE default
+      // (Bench, Verify, every query gate) keeps AQE on — real corpora
+      // are skewed and AQE's skew-join/coalesce earn their planning.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // probe hook: GRAFT_SPARK_EXTRA="k=v;k2=v2" injects session confs

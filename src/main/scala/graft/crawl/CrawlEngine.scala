@@ -203,6 +203,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       }
   }
 
+  /** Next wave's (tag, bucket) sets, carried out of this wave's fused
+    * state write by observation (tag 0 = due hosts, 1 = politeness-
+    * available hosts) — saves the wave-start pre-stage driver action. */
+  private var nextBucketTags: Option[Array[(Int, Int)]] = None
+
   private val trace = sys.env.get("GRAFT_TRACE").contains("1")
   private def timed[T](label: String, wave: Int)(f: => T): T = {
     if (!trace) f
@@ -262,26 +267,34 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           st.discovered_sections)
       }.cache()
 
-    // ONE pre-stage job for both bucket sets the wave needs: the due
-    // hosts' buckets (seen/bloom scan pruning) and the politeness-
-    // available hosts' buckets (plan backlog scan pruning). Each is
-    // host-cardinality collapsing to ≤ nBuckets ints; computing them in
-    // a single tagged union halves the wave's driver-blocking pre-stage
-    // actions, and the same action materializes the `due` and
-    // `availHosts` caches every later stage reuses.
+    // The wave needs two bucket sets: the due hosts' buckets (seen/
+    // bloom scan pruning) and the politeness-available hosts' buckets
+    // (plan backlog scan pruning). In steady state BOTH arrive for free
+    // on the PREVIOUS wave's fused state write (collect_set observations
+    // riding the politeness/source_state legs, evaluated by the same
+    // Scala kernels — `nextBucketTags` below), so no wave-start driver
+    // action runs at all. The pre-stage job remains only as the
+    // fallback for wave 0 / resume / scoped runs (a scoped due scan is
+    // a subset of the observed all-sources one; the tiny gate worlds
+    // don't need the saved job).
     val waveSec = cfg.waveSeconds
     val availHosts = politeness
       .filter(st => Politeness.available(st, wave, waveSec))
       .map(st => (st.host, st.tokens_per_wave))
       .toDF("p_host", "tokens")
       .cache() // scanned twice: bucket agg + ranking join
-    val bucketTags: Array[(Int, Int)] = timed("pre_stage", wave) {
-      due
-        .map(d => (0, gf.hostBucketJvm(d.host_norm, nb)))
-        .toDF("t", "b")
-        .unionByName(availHosts.select(lit(1).as("t"),
-          pmod(xxhash64(col("p_host")), lit(nb.toLong)).cast("int").as("b")))
-        .distinct().as[(Int, Int)].collect()
+    val bucketTags: Array[(Int, Int)] = nextBucketTags match {
+      case Some(tags) =>
+        nextBucketTags = None
+        tags
+      case None => timed("pre_stage", wave) {
+        due
+          .map(d => (0, gf.hostBucketJvm(d.host_norm, nb)))
+          .toDF("t", "b")
+          .unionByName(availHosts.select(lit(1).as("t"),
+            pmod(xxhash64(col("p_host")), lit(nb.toLong)).cast("int").as("b")))
+          .distinct().as[(Int, Int)].collect()
+      }
     }
     val touched: Seq[Int] =
       bucketTags.collect { case (0, b) => b }.toSeq.sorted
@@ -569,14 +582,23 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         val st = PolitenessState(j.host, j.bot_sensitivity, j.tokens_per_wave,
           j.cooldown_until_s, j.consecutive_failures, j.paused_until_s,
           j.bot_encounters, j.forbidden_count)
-        if (j.ok.isEmpty && j.nf.isEmpty && j.fb.isEmpty && j.rl.isEmpty &&
-          j.to.isEmpty && j.cp.isEmpty) st
-        else Politeness.update(st,
-          Politeness.HostOutcome(j.ok.getOrElse(0L).toInt, j.nf.getOrElse(0L).toInt,
-            j.fb.getOrElse(0L).toInt, j.rl.getOrElse(0L).toInt,
-            j.to.getOrElse(0L).toInt, j.cp.getOrElse(0L).toInt),
-          wave, waveSec, j.crawl_delay_s.getOrElse(0.0))
+        val next =
+          if (j.ok.isEmpty && j.nf.isEmpty && j.fb.isEmpty && j.rl.isEmpty &&
+            j.to.isEmpty && j.cp.isEmpty) st
+          else Politeness.update(st,
+            Politeness.HostOutcome(j.ok.getOrElse(0L).toInt, j.nf.getOrElse(0L).toInt,
+              j.fb.getOrElse(0L).toInt, j.rl.getOrElse(0L).toInt,
+              j.to.getOrElse(0L).toInt, j.cp.getOrElse(0L).toInt),
+            wave, waveSec, j.crawl_delay_s.getOrElse(0.0))
+        // next wave's plan-scan bucket, decided by the SAME kernel the
+        // wave-start fallback uses — rides out on an observation
+        val availB =
+          if (Politeness.available(next, wave + 1, waveSec))
+            gf.hostBucketJvm(next.host, nb)
+          else -1
+        (next, availB)
       }
+      .select(col("_1.*"), col("_2").as("__avail_b"))
 
     // source_state: set-based S11 rewrite — ledger (F13), pause counter
     // (F12/C8), sections (M4), method telemetry; all per-source facts
@@ -601,7 +623,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .join(newByMethod, Seq("source_id"), "left")
       .cache()
     val stateNext = state.toDF()
-      .join(allSources.toDF().select(col("source_id"), col("frequency")), Seq("source_id"))
+      .join(allSources.toDF().select(col("source_id"), col("frequency"),
+        col("status")), Seq("source_id"))
       .join(perSource, Seq("source_id"), "left")
       .as[StateJoin]
       .map { j =>
@@ -610,7 +633,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
           j.no_effective_consecutive, j.paused_auto, j.last_successful_method,
           j.discovered_sections,
           j.rss_attempts, j.rss_successes, j.homepage_attempts, j.homepage_successes)
-        j.rss_attempted match {
+        val out = j.rss_attempted match {
           case None => prev // not due this wave
           case Some(ranRss) =>
             SourceRules.update(prev, j.frequency,
@@ -624,13 +647,22 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
                   j.nav_sections.getOrElse(Seq.empty)),
               wave)
         }
+        // next wave's seen-scan bucket, decided by the SAME due kernel
+        // the wave-start fallback uses — rides out on the observation
+        val dueB =
+          if (SourceRules.due(out, j.status, j.frequency, wave + 1))
+            gf.hostBucketJvm(out.host, nb)
+          else -1
+        (out, dueB)
       }
+      .select(col("_1.*"), col("_2").as("__due_b"))
     val stateObs = org.apache.spark.sql.Observation()
-    val stateToWrite = stateNext.toDF().crossJoin(params).observe(stateObs,
+    val stateToWrite = stateNext.crossJoin(params).observe(stateObs,
       count(when(array_contains(col("rss_failure_waves"), col("cur_wave")), 1))
         .as("rss_failures"),
-      count(when(col("paused_auto"), 1)).as("paused_sources"))
-      .drop("cur_wave", "cur_seq", "mix_seed")
+      count(when(col("paused_auto"), 1)).as("paused_sources"),
+      collect_set(when(col("__due_b") >= 0, col("__due_b"))).as("due_buckets"))
+      .drop("cur_wave", "cur_seq", "mix_seed", "__due_b")
 
     // per-(source, method) telemetry (A5 surface, telemetry.py:1777-1910)
     val telemObs = org.apache.spark.sql.Observation()
@@ -724,9 +756,13 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // this wave's caches (results/perSource/due) plus the tiny
     // politeness/state snapshots.
     import graft.store.SnapshotStore.FusedPart
+    val polObs = org.apache.spark.sql.Observation()
     val fStateTables = Future(timed("write_state_fused", wave) {
       store.writeFused(Seq(
-        FusedPart("politeness", politenessNext.toDF().coalesce(hostFiles),
+        FusedPart("politeness", politenessNext
+          .observe(polObs, collect_set(when(col("__avail_b") >= 0,
+            col("__avail_b"))).as("avail_buckets"))
+          .drop("__avail_b").coalesce(hostFiles),
           append = false, lineage = s"wave $wave politeness"),
         FusedPart("source_state", stateToWrite.coalesce(hostFiles),
           append = false, lineage = s"wave $wave discovery state"),
@@ -737,6 +773,21 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     })
     Seq(fFrontier, fBloom, fStateTables)
       .foreach(Await.result(_, Duration.Inf))
+
+    // carry the NEXT wave's bucket sets out of the fused write's
+    // observations (same kernels as the wave-start fallback). Scoped
+    // runs keep the fallback: their due scan is scope-restricted while
+    // the state leg sees every source.
+    if (wave + 1 < cfg.nWaves && cfg.datasetScope == null) {
+      def ints(v: Any): Seq[Int] = v match {
+        case s: scala.collection.Seq[_] => s.map(x => x.asInstanceOf[Number].intValue).toSeq
+        case a: Array[_] => a.toSeq.map(x => x.asInstanceOf[Number].intValue)
+        case other => sys.error(s"unexpected observation value: $other")
+      }
+      nextBucketTags = Some(
+        (ints(stateObs.get("due_buckets")).map((0, _)) ++
+          ints(polObs.get("avail_buckets")).map((1, _))).distinct.toArray)
+    }
 
     // all counters come from observations riding the write actions
     val discMetrics = discObs.get
@@ -855,7 +906,7 @@ object CrawlEngine {
                              discovered_sections: Seq[String],
                              rss_attempts: Int, rss_successes: Int,
                              homepage_attempts: Int, homepage_successes: Int,
-                             frequency: String,
+                             frequency: String, status: String,
                              rss_attempted: Option[Boolean], rss_failed: Option[Boolean],
                              homepage_ran: Option[Boolean],
                              raw_rss: Option[Long], raw_homepage: Option[Long],

@@ -68,6 +68,18 @@ object CrawlQueries {
       store
     })
 
+  /** Build the scoped store now (idempotent) and return the engine-run
+    * seconds, so Bench can disclose the scoped CRAWL as its own field
+    * instead of silently billing it to whichever q_crawl_scoped_* row
+    * happens to run first. 0.0 when the store already exists. */
+  def ensureScopedStore(spark: SparkSession, dir: String): Double =
+    if (scopedStores.contains(dir)) 0.0
+    else {
+      val t0 = System.nanoTime()
+      scopedStoreFor(spark, dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+
   type Q = (SparkSession, String) => DataFrame
 
   private def resultsOf(store: SnapshotStore, s: SparkSession): DataFrame =

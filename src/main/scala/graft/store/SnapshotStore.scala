@@ -41,6 +41,20 @@ object SnapshotStore {
 final class SnapshotStore(val root: String) {
   import SnapshotStore.FusedPart
 
+  // same switch as CrawlEngine's phase tracer: sub-phase attribution of
+  // the fused state write (driver planning vs job execution)
+  private val trace = sys.env.get("GRAFT_TRACE").contains("1")
+  private def timed[T](label: String)(f: => T): T = {
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[trace] store $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.3fs")
+      r
+    }
+  }
+
   /** bucket → data files (table-relative paths); -1 = unbucketed. */
   type FileMap = Map[Int, Seq[String]]
 
@@ -218,13 +232,13 @@ final class SnapshotStore(val root: String) {
     import org.apache.spark.sql.functions.{col, lit, struct}
     require(parts.nonEmpty, "writeFused needs at least one part")
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    parts.foreach { p =>
+    timed("fused_analyze_legs")(parts.foreach { p =>
       require(Files.exists(schemaPath(p.table)),
         s"fused write requires a pinned schema for '${p.table}' (init first)")
       require(shape(p.df.schema) == shape(tableSchema(p.table)),
         s"schema drift for table '${p.table}': writing ${p.df.schema.simpleString}, " +
           s"pinned ${tableSchema(p.table).simpleString}")
-    }
+    })
     val branches = parts.map { p =>
       val cols = parts.map { q =>
         if (q.table == p.table) struct(p.df.columns.map(col): _*).as(s"__c_${q.table}")
@@ -233,6 +247,7 @@ final class SnapshotStore(val root: String) {
       p.df.select(lit(p.table).as("__tbl") +: cols: _*)
     }
     val fused = branches.reduce(_ unionByName _)
+    timed("fused_plan")(fused.queryExecution.executedPlan)
     val fusedRoot = Paths.get(root, "_fused")
     Files.createDirectories(fusedRoot)
     val next = Using.resource(Files.list(fusedRoot)) { s =>
@@ -241,7 +256,8 @@ final class SnapshotStore(val root: String) {
         .foldLeft(-1)(math.max) + 1
     }
     val dir = fusedRoot.resolve(f"snap-$next%05d")
-    fused.write.mode(SaveMode.Overwrite).partitionBy("__tbl").parquet(dir.toString)
+    timed("fused_write_job")(
+      fused.write.mode(SaveMode.Overwrite).partitionBy("__tbl").parquet(dir.toString))
     parts.foreach { p =>
       val sub = dir.resolve(s"__tbl=${p.table}")
       val td = tableDir(p.table)
