@@ -560,6 +560,19 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val frontierDelta = discovered.unionByName(
       updates.select(FrontierCols.map(col): _*))
 
+    // Host/source-DIMENSION frames in the state legs broadcast while
+    // the dim is broadcast-sized (≤ ~1M hosts ≈ tens of MB): each such
+    // join collapses from an exchange+sort pair into a map-side hash
+    // probe, taking the fused state write from ~20 scheduled stages to
+    // a handful — at host cardinality the stages are all scheduling
+    // latency, the parallelism-resistant serial tail the north-rule
+    // scaling bar is sensitive to. Past that size the hint is skipped
+    // and Catalyst plans the same equi-joins as shuffles (the 100-TB
+    // path: ten-million-host dims shuffle; AQE picks strategies from
+    // runtime stats on real, skewed corpora).
+    def dim(df: DataFrame): DataFrame =
+      if (cfg.nHosts <= 1000000) broadcast(df) else df
+
     // politeness: per-host outcome aggregation → pure kernel update,
     // crawl delay joined from the robots table (no driver map). A
     // relational groupBy, NOT a typed mapGroups: column pruning keeps
@@ -574,8 +587,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         count(when(col("status") === "timeout", 1)).as("to"),
         count(when(col("status") === "captcha", 1)).as("cp"))
     val politenessNext = politeness.toDF()
-      .join(outcomes, col("host") === col("o_host"), "left").drop("o_host")
-      .join(robots.select(col("host").as("d_host"), col("crawl_delay_s")),
+      .join(dim(outcomes), col("host") === col("o_host"), "left").drop("o_host")
+      .join(dim(robots.select(col("host").as("d_host"), col("crawl_delay_s"))),
         col("host") === col("d_host"), "left").drop("d_host")
       .as[PolJoin]
       .map { j =>
@@ -620,12 +633,12 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         regexp_extract(col("norm_url"), "/sections/([a-z]+)$", 1), lit("")))
         .as("sections_found"))
     val perSource = dueFacts
-      .join(newByMethod, Seq("source_id"), "left")
+      .join(dim(newByMethod), Seq("source_id"), "left")
       .cache()
     val stateNext = state.toDF()
-      .join(allSources.toDF().select(col("source_id"), col("frequency"),
-        col("status")), Seq("source_id"))
-      .join(perSource, Seq("source_id"), "left")
+      .join(dim(allSources.toDF().select(col("source_id"), col("frequency"),
+        col("status"))), Seq("source_id"))
+      .join(dim(perSource), Seq("source_id"), "left")
       .as[StateJoin]
       .map { j =>
         val prev = SourceState(j.source_id, j.host, j.last_wave,
