@@ -169,6 +169,41 @@ object CrawlExpected {
         FROM ok ORDER BY norm_url"""
   }
 
+  /** q_t3_payload oracle: the closed-form stage chain (t3OracleSql)
+    * joined with a full DuckDB recompute of the X3 byline-clean rule
+    * chain (PipelineOps.bylineChainCtes — the same builder the
+    * q_x3_byline_clean oracle uses) over the byline synthesized from
+    * caption words 1/3 + the processing order, and the X4 label from
+    * the independently-computed expected status. */
+  private val t3PayloadSql: String = {
+    val b = CrawlQueries.T3BatchSize
+    val c = CrawlQueries.T3Cycles
+    s"""WITH ok AS (SELECT norm_url, caption, status,
+            row_number() OVER (ORDER BY wave, host, rank) - 1 AS ord
+          FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')
+          WHERE status IN ('extracted', 'obituary', 'opinion', 'wire')),
+        st AS (SELECT norm_url, status, ord,
+          CASE WHEN ord < ${(c - 1) * b} THEN 'labeled'
+               WHEN ord < ${c * b} THEN 'cleaned'
+               ELSE 'extracted' END AS article_status FROM ok),
+        nm AS (SELECT norm_url, array_to_string(list_transform(
+            [w[1], w[3]], x -> upper(x[1]) || substring(x, 2)), ' ') AS n1
+          FROM (SELECT norm_url, str_split(caption, ' ') AS w FROM ok)),
+        syn AS (SELECT s.norm_url, CASE CAST(s.ord % 4 AS INT)
+            WHEN 0 THEN 'By ' || n1
+            WHEN 1 THEN n1 || ', Staff Writer'
+            WHEN 2 THEN 'Associated Press'
+            ELSE n1 || ' USA TODAY' END AS byline
+          FROM st s JOIN nm USING (norm_url)),
+        ${PipelineOps.bylineChainCtes("norm_url")}
+        SELECT s.norm_url, s.article_status,
+          CASE WHEN s.article_status IN ('cleaned', 'labeled')
+               THEN ${PipelineOps.bylineAuthorsCsvSql} ELSE '' END AS authors_csv,
+          CASE WHEN s.article_status = 'labeled' THEN s.status ELSE '' END AS label
+        FROM st s JOIN dd ON dd.norm_url = s.norm_url
+        ORDER BY s.norm_url"""
+  }
+
   /** M1/M2 oracles: DuckDB recomputes the maintenance filter+agg from
     * the independently-built expected frontier dump. The current wave
     * is derived from the data (max discovered_wave + 1 == nWaves: the
@@ -200,6 +235,7 @@ object CrawlExpected {
     "q_x4_content_type" -> x4OracleSql,
     "q_telemetry_http" -> httpTelemetryOracleSql,
     "q_t3_processing" -> t3OracleSql,
+    "q_t3_payload" -> t3PayloadSql,
     "q_crawl_results" ->
       "SELECT * FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')",
     "q_crawl_status_counts" ->

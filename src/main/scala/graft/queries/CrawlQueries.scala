@@ -194,6 +194,43 @@ object CrawlQueries {
       .select("norm_url", "article_status")
       .orderBy("norm_url")
 
+  /** T3 with per-stage PAYLOAD transforms: the `cleaned` stage runs the
+    * real X3 byline-clean pass (graft.ops.Bylines — the reference's
+    * continuous processor invokes the byline cleaner at this stage,
+    * orchestration/continuous_processor.py:362-412 →
+    * utils/byline_cleaner.py) over a byline synthesized
+    * deterministically from the fetched caption + processing order, and
+    * the `labeled` stage exposes the X4 content-type label the fetch
+    * computed from the payload (ml classifier analogue). The DuckDB
+    * oracle recomputes the stage chain in closed form, the byline synth
+    * from the same caption words, and the whole X3 rule chain
+    * (PipelineOps.bylineChainCtes — one definition for both gates). */
+  val qT3Payload: Q = (s, dir) => {
+    val results = storeFor(s, dir).readAll(s, "results")
+    val processed = graft.crawl.Processing.runCycles(results, T3BatchSize, T3Cycles)
+    val w = split(col("caption"), " ")
+    // two-word pseudo-name from caption words 1 and 3 (word 2 is the
+    // vocabulary's literal "and" — a byline separator token in X3)
+    val n1 = concat_ws(" ", initcap(element_at(w, 1)), initcap(element_at(w, 3)))
+    val joined = processed.join(
+      results.filter(col("http_status") === 200)
+        .select(col("norm_url"), col("caption"), col("status")), "norm_url")
+      .withColumn("byline",
+        when(pmod(col("ord"), lit(4)) === 0, concat(lit("By "), n1))
+          .when(pmod(col("ord"), lit(4)) === 1, concat(n1, lit(", Staff Writer")))
+          .when(pmod(col("ord"), lit(4)) === 2, lit("Associated Press"))
+          .otherwise(concat(n1, lit(" USA TODAY"))))
+    joined
+      .join(graft.ops.Bylines.clean(joined, "norm_url", "byline")
+        .select(col("norm_url"), col("authors")), "norm_url")
+      .select(col("norm_url"), col("article_status"),
+        when(col("article_status").isin("cleaned", "labeled"),
+          array_join(col("authors"), "; ")).otherwise(lit("")).as("authors_csv"),
+        when(col("article_status") === "labeled", col("status"))
+          .otherwise(lit("")).as("label"))
+      .orderBy("norm_url")
+  }
+
   /** Per-(wave, host, http_status) fetch-outcome telemetry (the
     * reference's HTTP status-tracking ops table). The DuckDB oracle
     * recomputes it from the expected results' status column. */
@@ -258,6 +295,7 @@ object CrawlQueries {
     "q_m1_stale_breakdown" -> qM1StaleBreakdown,
     "q_m2_stuck_states" -> qM2StuckStates,
     "q_t3_processing" -> qT3Processing,
+    "q_t3_payload" -> qT3Payload,
     "q_image_decode" -> qImageDecode,
     "q_image_thumbs" -> qImageThumbs)
 }

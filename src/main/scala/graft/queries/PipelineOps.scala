@@ -248,23 +248,60 @@ object PipelineOps {
       .drop("authors")
       .orderBy("doc_id")
 
-  val sX3BylineClean: String = {
+  // ---- X3 byline-clean DuckDB chain, shared by q_x3_byline_clean and
+  // the T3 payload gate (CrawlExpected.t3PayloadSql): the CTE block
+  // expects a prior CTE `syn` providing ($keyCol, byline) and exposes
+  // `dd` with (keyCol, byline, nb, exact_c, suf_c, before_d, std_d).
+  private def bylineCleanListSql(x: String): String = {
+    import graft.ops.Bylines._
+    val titles = TitleWords.map(w => s"'$w'").mkString(", ")
+    // JunkRe holds the regex verbatim (single backslashes); DuckDB ''
+    // literals do no escape processing, so it embeds as-is
+    s"""list_filter(list_transform(
+          str_split_regex(trim(regexp_replace(regexp_replace($x, '$JunkRe', ' ', 'g'), '\\s+', ' ', 'g')),
+            '\\s*(,|\\band\\b|&|\\bwith\\b)\\s*'),
+          p -> array_to_string(list_transform(
+            list_filter(str_split(p, ' '), x -> x <> '' AND NOT list_contains([$titles], x)),
+            x -> upper(x[1]) || substring(x, 2)), ' ')), p -> p <> '')"""
+  }
+
+  private[queries] def bylineChainCtes(keyCol: String): String = {
     import graft.ops.Bylines._
     val wsVals = WireServices.zipWithIndex
       .map { case ((k, c), i) => s"(${i + 1}, '$k', '$c')" }.mkString(", ")
     val sfVals = SyndicatedSuffixes.zipWithIndex
       .map { case ((r, c), i) => s"(${i + 1}, '\\b$r\\s*$$', '$c')" }.mkString(", ")
-    val titles = TitleWords.map(w => s"'$w'").mkString(", ")
-    // JunkRe holds the regex verbatim (single backslashes); DuckDB ''
-    // literals do no escape processing, so it embeds as-is
-    val junk = JunkRe
-    def cleanSql(x: String) =
-      s"""list_filter(list_transform(
-            str_split_regex(trim(regexp_replace(regexp_replace($x, '$junk', ' ', 'g'), '\\s+', ' ', 'g')),
-              '\\s*(,|\\band\\b|&|\\bwith\\b)\\s*'),
-            p -> array_to_string(list_transform(
-              list_filter(str_split(p, ' '), x -> x <> '' AND NOT list_contains([$titles], x)),
-              x -> upper(x[1]) || substring(x, 2)), ' ')), p -> p <> '')"""
+    s"""ws(ord, k, c) AS (VALUES $wsVals),
+       sf(ord, r, c) AS (VALUES $sfVals),
+       base AS (SELECT $keyCol, byline,
+         lower(trim(regexp_replace(byline, '\\s+', ' ', 'g'))) AS nb FROM syn),
+       core_t AS (SELECT *, regexp_replace(nb, '^(by|from|source:|-)\\s+', '') AS core FROM base),
+       hits AS (SELECT $keyCol, byline, nb, core,
+         (SELECT c FROM ws WHERE core = k OR starts_with(core, k || ' ') ORDER BY ord LIMIT 1) AS exact_c,
+         (SELECT c FROM sf WHERE regexp_matches(core, r) ORDER BY ord LIMIT 1) AS suf_c,
+         (SELECT trim(regexp_replace(core, r, '')) FROM sf WHERE regexp_matches(core, r) ORDER BY ord LIMIT 1) AS suf_before
+        FROM core_t),
+       cl AS (SELECT $keyCol, byline, nb, exact_c, suf_c,
+         ${bylineCleanListSql("coalesce(suf_before, '')")} AS before_c,
+         ${bylineCleanListSql("regexp_replace(nb, '^(written by|story by|report by|by)\\s+', '')")} AS std_c
+        FROM hits),
+       dd AS (SELECT $keyCol, byline, nb, exact_c, suf_c,
+         list_filter(before_c, (p, i) -> list_position(before_c, p) = i) AS before_d,
+         list_filter(std_c, (p, i) -> list_position(std_c, p) = i) AS std_d
+        FROM cl)"""
+  }
+
+  /** Final authors_csv projection over `dd` (see bylineChainCtes). */
+  private[queries] val bylineAuthorsCsvSql: String =
+    """coalesce(array_to_string(
+         CASE WHEN nb = '' THEN []
+              WHEN exact_c IS NOT NULL THEN [trim(regexp_replace(byline, '\s+', ' ', 'g'))]
+              WHEN suf_c IS NOT NULL THEN
+                (CASE WHEN len(before_d) > 0 THEN before_d
+                      ELSE [trim(regexp_replace(byline, '\s+', ' ', 'g'))] END)
+              ELSE std_d END, '; '), '')"""
+
+  val sX3BylineClean: String = {
     s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
        nm AS (SELECT doc_id,
          array_to_string(list_transform([w[1], w[2]], x -> upper(x[1]) || substring(x, 2)), ' ') AS n1,
@@ -279,34 +316,11 @@ object PipelineOps {
          WHEN 5 THEN 'By ' || n1 || ' ' || lower(replace(n2, ' ', '.')) || '@example.com'
          WHEN 6 THEN 'From Reuters'
          ELSE '' END AS byline FROM nm),
-       ws(ord, k, c) AS (VALUES $wsVals),
-       sf(ord, r, c) AS (VALUES $sfVals),
-       base AS (SELECT doc_id, byline,
-         lower(trim(regexp_replace(byline, '\\s+', ' ', 'g'))) AS nb FROM syn),
-       core_t AS (SELECT *, regexp_replace(nb, '^(by|from|source:|-)\\s+', '') AS core FROM base),
-       hits AS (SELECT doc_id, byline, nb, core,
-         (SELECT c FROM ws WHERE core = k OR starts_with(core, k || ' ') ORDER BY ord LIMIT 1) AS exact_c,
-         (SELECT c FROM sf WHERE regexp_matches(core, r) ORDER BY ord LIMIT 1) AS suf_c,
-         (SELECT trim(regexp_replace(core, r, '')) FROM sf WHERE regexp_matches(core, r) ORDER BY ord LIMIT 1) AS suf_before
-        FROM core_t),
-       cl AS (SELECT doc_id, byline, nb, exact_c, suf_c,
-         ${cleanSql("coalesce(suf_before, '')")} AS before_c,
-         ${cleanSql("regexp_replace(nb, '^(written by|story by|report by|by)\\s+', '')")} AS std_c
-        FROM hits),
-       dd AS (SELECT doc_id, byline, nb, exact_c, suf_c,
-         list_filter(before_c, (p, i) -> list_position(before_c, p) = i) AS before_d,
-         list_filter(std_c, (p, i) -> list_position(std_c, p) = i) AS std_d
-        FROM cl)
+       ${bylineChainCtes("doc_id")}
        SELECT doc_id,
          (exact_c IS NOT NULL OR suf_c IS NOT NULL) AS wire_detected,
          coalesce(exact_c, suf_c) AS wire_service,
-         coalesce(array_to_string(
-           CASE WHEN nb = '' THEN []
-                WHEN exact_c IS NOT NULL THEN [trim(regexp_replace(byline, '\\s+', ' ', 'g'))]
-                WHEN suf_c IS NOT NULL THEN
-                  (CASE WHEN len(before_d) > 0 THEN before_d
-                        ELSE [trim(regexp_replace(byline, '\\s+', ' ', 'g'))] END)
-                ELSE std_d END, '; '), '') AS authors_csv
+         $bylineAuthorsCsvSql AS authors_csv
        FROM dd ORDER BY doc_id"""
   }
 
