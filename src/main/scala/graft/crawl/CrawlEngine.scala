@@ -4,7 +4,7 @@ import graft.core.{functions => gf}
 import graft.model._
 import graft.ops.ImageKernels
 import graft.store.SnapshotStore
-import graft.synth.Synth
+import graft.synth.{Synth, SynthFunctions}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -208,6 +208,17 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     * available hosts) — saves the wave-start pre-stage driver action. */
   private var nextBucketTags: Option[Array[(Int, Int)]] = None
 
+  /** Politeness / source-state carried across waves as lazily
+    * localCheckpoint'd frames (the fused state write is the action that
+    * materializes them — no extra job): the next wave probes executor
+    * memory instead of re-reading the parquet snapshot this wave just
+    * wrote. The store copy remains the durable truth — written every
+    * wave exactly as before — and a resume in a fresh JVM starts from
+    * `store.read`, which holds the same rows by construction (the same
+    * pattern as the Bloom bank above). */
+  private var politenessCarry: Option[DataFrame] = None
+  private var stateCarry: Option[DataFrame] = None
+
   private val trace = sys.env.get("GRAFT_TRACE").contains("1")
   private def timed[T](label: String, wave: Int)(f: => T): T = {
     if (!trace) f
@@ -233,7 +244,9 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // cache hits.
     val params = broadcast(Seq((wave, 2L * wave, cfg.seed + wave))
       .toDF("cur_wave", "cur_seq", "mix_seed"))
-    val politeness = store.read(spark, "politeness").as[PolitenessState]
+    val politeness = politenessCarry
+      .map(_.as[PolitenessState])
+      .getOrElse(store.read(spark, "politeness").as[PolitenessState])
     // dataset scoping (J1 engine-side): a scoped run semi-joins the seed
     // registry against the N:M dataset_sources rows of the scope label
     // (broadcast — the scope table is dataset×source cardinality).
@@ -248,7 +261,9 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
             .filter(col("dataset_id") === scope).select("source_id")),
           Seq("source_id"), "left_semi")
     }).as[Source]
-    val state = store.read(spark, "source_state").as[SourceState]
+    val state = stateCarry
+      .map(_.as[SourceState])
+      .getOrElse(store.read(spark, "source_state").as[SourceState])
     val robots = store.read(spark, "robots")
 
     // ---- 1. due sources (F11 + F12 gates, join-based — no driver map);
@@ -325,7 +340,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val normalized = raw
       .withColumn("norm_url", gf.normalize_url(col("url")))
       .withColumn("host", gf.canonical_host(col("url")))
-      .withColumn("pub_day", publishDayUdf(col("norm_url")))
+      .withColumn("pub_day", SynthFunctions.publish_day(col("norm_url"), cfg))
       .withColumn("outcome",
         when(!gf.is_valid_url(col("url")), lit("invalid"))
           .when(col("host") =!= col("src_host"), lit("out_of_scope")) // F7
@@ -669,8 +684,12 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         (out, dueB)
       }
       .select(col("_1.*"), col("_2").as("__due_b"))
+    // lazy localCheckpoint: the fused state write below is the action
+    // that materializes it, and the blocks double as next wave's
+    // source_state (stateCarry) — lineage truncated, no extra job
+    val stateNextCk = stateNext.localCheckpoint(false)
     val stateObs = org.apache.spark.sql.Observation()
-    val stateToWrite = stateNext.crossJoin(params).observe(stateObs,
+    val stateToWrite = stateNextCk.crossJoin(params).observe(stateObs,
       count(when(array_contains(col("rss_failure_waves"), col("cur_wave")), 1))
         .as("rss_failures"),
       count(when(col("paused_auto"), 1)).as("paused_sources"),
@@ -769,10 +788,13 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // this wave's caches (results/perSource/due) plus the tiny
     // politeness/state snapshots.
     import graft.store.SnapshotStore.FusedPart
+    // lazy localCheckpoint, same deal as stateNextCk: materialized by
+    // the fused write, reused as next wave's politeness (politenessCarry)
+    val politenessNextCk = politenessNext.localCheckpoint(false)
     val polObs = org.apache.spark.sql.Observation()
     val fStateTables = Future(timed("write_state_fused", wave) {
       store.writeFused(Seq(
-        FusedPart("politeness", politenessNext
+        FusedPart("politeness", politenessNextCk
           .observe(polObs, collect_set(when(col("__avail_b") >= 0,
             col("__avail_b"))).as("avail_buckets"))
           .drop("__avail_b").coalesce(hostFiles),
@@ -786,6 +808,14 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     })
     Seq(fFrontier, fBloom, fStateTables)
       .foreach(Await.result(_, Duration.Inf))
+
+    // the fused write materialized both checkpoints; swap them in as
+    // next wave's state reads and free the previous wave's blocks
+    // (safe only now: every consumer of the old frames has run)
+    politenessCarry.foreach(_.unpersist())
+    stateCarry.foreach(_.unpersist())
+    politenessCarry = Some(politenessNextCk.drop("__avail_b"))
+    stateCarry = Some(stateNextCk.drop("__due_b"))
 
     // carry the NEXT wave's bucket sets out of the fused write's
     // observations (same kernels as the wave-start fallback). Scoped
@@ -864,6 +894,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     * every table back to the last committed wave's pins (a crash
     * mid-wave leaves some tables ahead of the commit), then continues. */
   def run(): Seq[WaveMetrics] = {
+    // a re-run on the same instance after a rollback must not consume
+    // carries from the abandoned attempt — drop them; wave 1 of the new
+    // run falls back to store.read / the frontier rebuild
+    bloomBank = None; nextBucketTags = None
+    politenessCarry = None; stateCarry = None
     timed("init", -1)(init())
     timed("recover", -1)(store.recoverToLastCommit(AllTables))
     val start = store.lastCommittedWave() + 1
@@ -874,12 +909,6 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 
   private def pathOf(c: Column) = regexp_replace(c, "^[a-z]+://[^/]*", "")
 
-  private val publishDayUdf = {
-    val c = cfg
-    udf { norm: String =>
-      Synth.idOf(norm).map(id => Synth.publishDay(c)(id)).getOrElse(-1)
-    }
-  }
 }
 
 object CrawlEngine {

@@ -127,6 +127,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** Fold over the (cid-sorted) centroid array keeping the argmax-cosine
+    * centroid id; strict `>` keeps the FIRST (lowest-cid) winner on
+    * ties, matching the oracle's `ORDER BY cos DESC, cid LIMIT 1`. */
+  private def argmaxCentroid(vec: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(Double.NegativeInfinity).as("best"), lit(-1).as("cid")),
+      (acc, c) => {
+        val s = cosine(vec, c.getField("cv"))
+        when(s > acc.getField("best"),
+          struct(s.as("best"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path
+    * complementing the LSH family (the brief's "IVF or LSH-bucketed
+    * variant"): every vector is assigned to its nearest of `nLists`
+    * centroids (deterministic sampled centroids — the rows with
+    * id < nLists; no training pass, so any IEEE engine reproduces the
+    * assignment bit-identically), and a query scans only the `nProbe`
+    * centroid lists nearest to it — the FAISS IVF-Flat shape. At scale
+    * `cluster` is the table's partition key, so a query reads nProbe
+    * partitions instead of the corpus; assignment itself is one
+    * map-side pass against a broadcast centroid array (no shuffle).
+    * Recall vs [[bruteForceTopK]] is asserted in AnnSpec. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val base = vectors.select(col(idCol), col(vecCol).as("v"))
+    // sampled coarse quantizer as ONE broadcast row, cid-sorted so the
+    // assignment fold's first-wins tie-break matches the oracle
+    val cents = base.filter(col(idCol) < nLists)
+      .agg(sort_array(collect_list(
+        struct(col(idCol).cast("int").as("cid"), col("v").as("cv")))).as("cents"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("cluster", argmaxCentroid(col("v"), col("cents")))
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("cents"))
+    // the query's nProbe nearest centroids (centroid-cardinality work)
+    val probes = q
+      .select(explode(col("cents")).as("c"), col("qv"))
+      .select(col("c").getField("cid").as("pcid"),
+        cosine(col("qv"), col("c").getField("cv")).as("pcos"))
+      .orderBy(desc("pcos"), asc("pcid"))
+      .limit(nProbe)
+      .select("pcid")
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(probes), col("cluster") === col("pcid"))
+      .crossJoin(broadcast(q.select(col("qv"))))
+      .select(col(idCol), col("cluster"),
+        trunc4(cosine(col("v"), col("qv"))).as("cos"))
+      .orderBy(desc("cos"), asc(idCol))
+      .limit(k)
+  }
+
   /** Multiprobe ANN: probe the query's bucket plus every bucket at
     * Hamming distance 1 (nBits+1 probes), exact cosine within the
     * candidate set. At scale bucket = partition key, so multiprobe is

@@ -374,6 +374,36 @@ object PipelineOps {
        ORDER BY cos DESC, vec_id LIMIT 10"""
   }
 
+  // IVF-Flat ANN (coarse quantizer = sampled centroids cid < nLists,
+  // nProbe nearest lists scanned). Deterministic and training-free, so
+  // the DuckDB oracle recomputes the assignment and probe set exactly.
+  private val IvfLists = 16
+  private val IvfProbe = 4
+  val qAnnIvf: Q = (s, dir) =>
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, nLists = IvfLists, nProbe = IvfProbe)
+  val sAnnIvf: String = {
+    def cosSql(a: String, b: String) =
+      s"""list_inner_product($a, $b) /
+          (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"""
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cid, v AS cv FROM b WHERE vec_id < $IvfLists),
+       asg AS (SELECT b.vec_id, b.v,
+                 (SELECT c.cid FROM cent c
+                  ORDER BY ${cosSql("b.v", "c.cv")} DESC, c.cid
+                  LIMIT 1) AS cluster
+               FROM b),
+       q AS (SELECT v AS qv FROM b WHERE vec_id = 0),
+       probes AS (SELECT c.cid AS pcid FROM cent c, q
+                  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid
+                  LIMIT $IvfProbe)
+       SELECT a.vec_id, a.cluster,
+         floor((${cosSql("a.v", "q.qv")}) * 1e4) / 1e4 AS cos
+       FROM asg a, q
+       WHERE a.cluster IN (SELECT pcid FROM probes) AND a.vec_id <> 0
+       ORDER BY cos DESC, a.vec_id LIMIT 10"""
+  }
+
   val qAnnSrpBuckets: Q = (s, dir) =>
     t(s, dir, "embeddings")
       .select(col("vec_id"),
@@ -422,6 +452,7 @@ object PipelineOps {
     "q_ann_srp_buckets" -> qAnnSrpBuckets,
     "q_ann_srp_multiprobe" -> qAnnSrpMultiprobe,
     "q_ann_multitable" -> qAnnMultitable,
+    "q_ann_ivf" -> qAnnIvf,
     "q_x3_byline_clean" -> qX3BylineClean,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_ngram_jaccard" -> qDedupJaccard,
@@ -442,6 +473,7 @@ object PipelineOps {
     "q_ann_srp_buckets" -> sAnnSrpBuckets,
     "q_ann_srp_multiprobe" -> sAnnSrpMultiprobe,
     "q_ann_multitable" -> sAnnMultitable,
+    "q_ann_ivf" -> sAnnIvf,
     "q_x3_byline_clean" -> sX3BylineClean,
     "q_dedup_exact" -> sDedupExact,
     "q_dedup_ngram_jaccard" -> sDedupJaccard,

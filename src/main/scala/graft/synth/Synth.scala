@@ -311,12 +311,17 @@ object Synth {
 
   /** Synthetic publish day ordinal; -1 ≙ null (nulls pass the recency
     * filter, discovery.py:1937-1942). Slot-keyed: ~1/11 null, ~1/7 old. */
-  def publishDay(cfg: Config)(id: Long): Int = {
-    val m = mix(cfg.seed, 0x9e37L, id)
+  def publishDay(cfg: Config)(id: Long): Int =
+    publishDay(cfg.seed, cfg.nowDay, cfg.recencyDays, id)
+
+  /** Param form shared by the Scala path and the codegen expression
+    * ([[PublishDay]]) — one definition, bit-identical everywhere. */
+  def publishDay(seed: Long, nowDay: Int, recencyDays: Int, id: Long): Int = {
+    val m = mix(seed, 0x9e37L, id)
     if (java.lang.Long.remainderUnsigned(m, 11) == 0) -1
     else if (java.lang.Long.remainderUnsigned(m, 7) == 0)
-      cfg.nowDay - cfg.recencyDays - 1 - (java.lang.Long.remainderUnsigned(m >>> 8, 30)).toInt
-    else cfg.nowDay - (java.lang.Long.remainderUnsigned(m >>> 8, cfg.recencyDays.toLong)).toInt
+      nowDay - recencyDays - 1 - (java.lang.Long.remainderUnsigned(m >>> 8, 30)).toInt
+    else nowDay - (java.lang.Long.remainderUnsigned(m >>> 8, recencyDays.toLong)).toInt
   }
 
   /** Robots rules (graft-added per north rule; RFC 9309 longest-match,

@@ -98,6 +98,33 @@ class AnnSpec extends AnyFunSuite {
     assert(cand >= 10, s"too few candidates for top-10: $cand")
   }
 
+  test("IVF assigns every vector and prunes the probe scan") {
+    val nLists = 16
+    val top = Similarity.ivfTopK(vectors, "vec_id", "embedding",
+      queryId = 0L, k = 10, nLists = nLists, nProbe = 4).collect()
+    assert(top.length == 10)
+    // results come only from probed clusters, ordered by truncated cos
+    val cs = top.map(_.getAs[Double]("cos")).toSeq
+    assert(cs == cs.sorted.reverse)
+    assert(top.map(_.getAs[Int]("cluster")).toSet.size <= 4)
+  }
+
+  test("IVF near-dup recall@1 = 1.0 (planted queries, nProbe=4/16)") {
+    val planted = vectors.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x.cast("double") * 1.02 + (i % 3 - 1) * 0.003).cast("float"))
+          .as("embedding"))
+    val corpus = vectors.select("vec_id", "embedding").unionByName(planted).cache()
+    (1000L until 1010L).foreach { qid =>
+      val top = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        qid, 1, nLists = 16, nProbe = 4).collect()
+      assert(top.nonEmpty, s"no candidates for planted query $qid")
+      assert(top.head.getLong(0) == qid - 1000L,
+        s"planted near-dup $qid: top hit ${top.head} != source ${qid - 1000}")
+    }
+  }
+
   test("bucket signature spreads across the keyspace (partition-key quality)") {
     val nBuckets = vectors
       .select(Similarity.srpBucketSeeded(col("embedding"), planes).as("b"))

@@ -183,4 +183,31 @@ class UrlKernelsProps extends AnyFunSuite {
         UrlKernels.normalizeUrl(base + "#section") == base
     })
   }
+
+  test("publishDayOfNorm byte kernel ≡ idOf + publishDay on chars") {
+    import graft.synth.{Synth, SynthCodegen}
+    import org.apache.spark.unsafe.types.UTF8String
+    val scalaPath = (s: String) =>
+      Synth.idOf(s).map(Synth.publishDay(42L, 1000, 30, _)).getOrElse(-1)
+    val kernel = (s: String) =>
+      SynthCodegen.publishDayOfNorm(42L, 1000, 30, UTF8String.fromString(s))
+    val fixed = Seq(
+      "https://h.example/stories/a-00012345", // 8-digit tail
+      "https://h.example/stories/a-0001234",  // 7 digits
+      "https://h.example/stories/a-000123456", // 9 digits
+      "https://h.example/stories/a-0001234x", // non-digit in tail
+      "https://h.example/a-12345678/b",       // digits not at end
+      "nodash", "", "-12345678", "a-1234-5678", "12345678",
+      "https://h.example/ü-12345678")         // multibyte before dash
+    fixed.foreach(s => assert(kernel(s) == scalaPath(s), s"mismatch on '$s'"))
+    val tailGen = org.scalacheck.Gen.oneOf(
+      org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.numChar).map(_.mkString),
+      org.scalacheck.Gen.alphaNumStr.map(_.take(10)))
+    val gen = for {
+      head <- org.scalacheck.Gen.alphaNumStr.map(_.take(12))
+      sep <- org.scalacheck.Gen.oneOf("-", "", "/")
+      tail <- tailGen
+    } yield s"https://h.example/$head$sep$tail"
+    check(forAll(gen)(s => kernel(s) == scalaPath(s)))
+  }
 }
