@@ -216,6 +216,22 @@ object CrawlExpected {
        FROM f, cur WHERE status = 'article' AND discovered_wave < maxw
        GROUP BY source_id ORDER BY source_id"""
 
+  /** M3 oracle: the frontier after null-payload repair, recomputed in
+    * SQL — the deterministic corruption rule (extracted rows with
+    * phash % 7 == 0 lose their payload) applied to the independent
+    * expected results dump decides which frontier rows flip back to
+    * `article`. */
+  private val m3OracleSql: String =
+    """WITH f AS (SELECT * FROM read_parquet('{OUT}/expected_crawl_frontier/*.parquet')),
+       bad AS (SELECT DISTINCT norm_url
+               FROM read_parquet('{OUT}/expected_crawl_results/*.parquet')
+               WHERE status = 'extracted' AND phash % 7 = 0)
+       SELECT f.norm_url,
+         CASE WHEN b.norm_url IS NOT NULL AND f.status = 'extracted'
+              THEN 'article' ELSE f.status END AS status
+       FROM f LEFT JOIN bad b ON b.norm_url = f.norm_url
+       ORDER BY f.norm_url"""
+
   private val m2OracleSql: String =
     """WITH f AS (SELECT * FROM read_parquet('{OUT}/expected_crawl_frontier/*.parquet')),
        cur AS (SELECT MAX(discovered_wave) AS maxw FROM f)
@@ -226,6 +242,7 @@ object CrawlExpected {
   val oracle: Map[String, String] = Map(
     "q_m1_stale_breakdown" -> m1OracleSql,
     "q_m2_stuck_states" -> m2OracleSql,
+    "q_m3_null_repair" -> m3OracleSql,
     "q_crawl_scoped_results" ->
       "SELECT * FROM read_parquet('{OUT}/expected_crawl_scoped_results/*.parquet')",
     "q_crawl_scoped_politeness" ->

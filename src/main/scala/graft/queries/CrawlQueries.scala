@@ -256,6 +256,25 @@ object CrawlQueries {
       CrawlEngine.frontierCurrent(s, storeFor(s, dir)),
       currentWave = cfgFor(dir).nWaves, stallWaves = 2)
 
+  /** M3 over the real crawl store: null-payload repair (reference
+    * housekeeping.py:194-250). The synth world never produces an
+    * extracted row with empty bytes, so the gate corrupts a
+    * DETERMINISTIC subset first (payloads of rows with phash % 7 == 0
+    * blanked) — the repair must flip exactly those frontier rows back
+    * to `article`; the DuckDB oracle recomputes the same rule from the
+    * independent expected frontier + results dumps. */
+  val qM3NullRepair: Q = (s, dir) => {
+    val store = storeFor(s, dir)
+    val corrupted = store.readAll(s, "results")
+      .withColumn("bytes",
+        when(col("phash") % 7 === 0, lit(Array.empty[Byte]))
+          .otherwise(col("bytes")))
+    graft.crawl.Maintenance.repairNullPayloads(
+        CrawlEngine.frontierCurrent(s, store), corrupted)
+      .select("norm_url", "status")
+      .orderBy("norm_url")
+  }
+
   // decode-ONCE pass shared by q_image_decode and q_image_thumbs: one
   // ImageIO decode per image feeds both feature sets (running the two
   // single-output operators separately would decode everything twice);
@@ -294,6 +313,7 @@ object CrawlQueries {
     "q_telemetry_http" -> qTelemetryHttp,
     "q_m1_stale_breakdown" -> qM1StaleBreakdown,
     "q_m2_stuck_states" -> qM2StuckStates,
+    "q_m3_null_repair" -> qM3NullRepair,
     "q_t3_processing" -> qT3Processing,
     "q_t3_payload" -> qT3Payload,
     "q_image_decode" -> qImageDecode,
