@@ -468,7 +468,17 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         when(col("status") === "article" && !col("allowed"), lit("robots_blocked"))
           .otherwise(col("status")))
       .drop("r_host", "rules", "u_path", "allowed")
-      .cache()
+      // lazy localCheckpoint, not cache: both dedupe the computation,
+      // but a cache leaves the FULL cascade lineage in every downstream
+      // plan — each of the wave's ~7 write/agg actions re-runs the
+      // analyzer/optimizer (and janino codegen) over the whole
+      // discovery tree before cache substitution kicks in, a
+      // parallelism-resistant driver-serial cost. The checkpoint leaf
+      // truncates it; the first action (write_results) materializes
+      // the blocks. Downstream joins are unaffected: every
+      // stats-sensitive join on this path carries an explicit
+      // broadcast/dim hint (LogicalRDD has no static stats).
+      .localCheckpoint(false)
 
     val dedupObs = org.apache.spark.sql.Observation()
     // M5 lineage label, assembled post-dedup (same format as the oracle)
@@ -531,7 +541,10 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // narrow projection and the outcome updates join back against this
     // same small cached set — the backlog is scanned exactly once per
     // wave and never cached.
-    val plannedWide = rankPerHost(eligible, availHosts).cache()
+    // lazy localCheckpoint (same rationale as gatedDelta): the frontier
+    // update leg re-reads plannedWide after the fetch — the checkpoint
+    // keeps the rank/merge subtree out of that plan's analysis
+    val plannedWide = rankPerHost(eligible, availHosts).localCheckpoint(false)
     val planned = plannedWide
       .select(col("norm_url"), col("host"), col("host_bucket"),
         col("source_id"), col("rank"))
@@ -545,7 +558,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val results = planned.map { p =>
       CrawlEngine.resolve(cfgB.value, cpB.value, p.norm_url, p.host, p.host_bucket,
         p.source_id, wave, p.rank)
-    }.cache()
+    }.localCheckpoint(false) // lineage leaf for the 4 post-fetch legs
     val resultsObs = org.apache.spark.sql.Observation()
     val resultsToWrite = results.toDF().observe(resultsObs,
       count(lit(1)).as("planned"),
@@ -765,7 +778,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       val nextBank = mergedTouched
         .union(bankAll.filter(r => !ts.contains(r.bucket)))
         .localCheckpoint(true)
-      bloomBank.foreach(_.unpersist())
+      bloomBank.foreach(CrawlEngine.freeCheckpoint) // eager ckpt above already copied the blocks
       bloomBank = Some(nextBank)
       // the store sees the bank once, at end-of-run — any resume path
       // rebuilds it from the frontier instead (see bankAll above)
@@ -812,8 +825,8 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // the fused write materialized both checkpoints; swap them in as
     // next wave's state reads and free the previous wave's blocks
     // (safe only now: every consumer of the old frames has run)
-    politenessCarry.foreach(_.unpersist())
-    stateCarry.foreach(_.unpersist())
+    politenessCarry.foreach(CrawlEngine.freeCheckpoint)
+    stateCarry.foreach(CrawlEngine.freeCheckpoint)
     politenessCarry = Some(politenessNextCk.drop("__avail_b"))
     stateCarry = Some(stateNextCk.drop("__due_b"))
 
@@ -884,9 +897,13 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       }
     }
 
-    due.unpersist(); checked.unpersist(); gatedDelta.unpersist()
-    plannedWide.unpersist(); results.unpersist(); perSource.unpersist()
+    due.unpersist(); checked.unpersist(); perSource.unpersist()
     availHosts.unpersist()
+    // checkpointed frames hold RDD blocks, not CacheManager entries —
+    // Dataset.unpersist() would be a no-op on them; free the blocks
+    CrawlEngine.freeCheckpoint(gatedDelta)
+    CrawlEngine.freeCheckpoint(plannedWide)
+    CrawlEngine.freeCheckpoint(results)
     metrics
   }
 
@@ -912,6 +929,18 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
 }
 
 object CrawlEngine {
+
+  /** Free the storage blocks behind a localCheckpoint'd frame.
+    * `Dataset.unpersist()` only clears CacheManager entries; a local
+    * checkpoint lives as RDD blocks under a `LogicalRDD` leaf, so the
+    * blocks must be unpersisted on the RDD itself. Safe only once no
+    * consumer of the frame will run again (recompute is impossible —
+    * the lineage was truncated). */
+  def freeCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Robots rule row: rules pre-sorted (longest prefix first, allow
     * winning equal-length ties) so longest-match = first array hit. */

@@ -19,12 +19,12 @@ object Similarity {
 
   /** Cosine similarity between two double-cast float arrays, summed in
     * index order (deterministic bitwise across engines). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  private def dotD(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
   /** Exact top-k by cosine against one query vector (given as the row of
     * `vectors` with id `queryId`). Output: (vec_id, cos) ordered. */
@@ -129,12 +129,17 @@ object Similarity {
 
   /** Fold over the (cid-sorted) centroid array keeping the argmax-cosine
     * centroid id; strict `>` keeps the FIRST (lowest-cid) winner on
-    * ties, matching the oracle's `ORDER BY cos DESC, cid LIMIT 1`. */
+    * ties, matching the oracle's `ORDER BY cos DESC, cid LIMIT 1`.
+    * Scores as dot(v,c)/|c| rather than full cosine: the row norm |v|
+    * is a positive constant across centroids, so dividing by it changes
+    * no comparison (argmax AND tie sets are identical) — and |c| comes
+    * precomputed in the broadcast struct (`cn`), making the fold ONE
+    * length-d dot per centroid instead of cosine's three. */
   private def argmaxCentroid(vec: Column, cents: Column): Column =
     aggregate(cents,
       struct(lit(Double.NegativeInfinity).as("best"), lit(-1).as("cid")),
       (acc, c) => {
-        val s = cosine(vec, c.getField("cv"))
+        val s = dotD(vec, c.getField("cv")) / c.getField("cn")
         when(s > acc.getField("best"),
           struct(s.as("best"), c.getField("cid").as("cid"))).otherwise(acc)
       }).getField("cid")
@@ -157,7 +162,8 @@ object Similarity {
     // assignment fold's first-wins tie-break matches the oracle
     val cents = base.filter(col(idCol) < nLists)
       .agg(sort_array(collect_list(
-        struct(col(idCol).cast("int").as("cid"), col("v").as("cv")))).as("cents"))
+        struct(col(idCol).cast("int").as("cid"), col("v").as("cv"),
+          sqrt(dotD(col("v"), col("v"))).as("cn")))).as("cents"))
     val assigned = base.crossJoin(broadcast(cents))
       .withColumn("cluster", argmaxCentroid(col("v"), col("cents")))
     val q = assigned.filter(col(idCol) === queryId)
