@@ -468,17 +468,23 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         when(col("status") === "article" && !col("allowed"), lit("robots_blocked"))
           .otherwise(col("status")))
       .drop("r_host", "rules", "u_path", "allowed")
-      // lazy localCheckpoint, not cache: both dedupe the computation,
-      // but a cache leaves the FULL cascade lineage in every downstream
-      // plan — each of the wave's ~7 write/agg actions re-runs the
-      // analyzer/optimizer (and janino codegen) over the whole
-      // discovery tree before cache substitution kicks in, a
-      // parallelism-resistant driver-serial cost. The checkpoint leaf
-      // truncates it; the first action (write_results) materializes
-      // the blocks. Downstream joins are unaffected: every
+      // localCheckpoint, not cache: both dedupe the computation, but a
+      // cache leaves the FULL cascade lineage in every downstream plan —
+      // each of the wave's ~7 write/agg actions re-runs the analyzer/
+      // optimizer (and janino codegen) over the whole discovery tree
+      // before cache substitution kicks in, a parallelism-resistant
+      // driver-serial cost. The checkpoint leaf truncates it.
+      // EAGER, necessarily: this plan carries discObs's CollectMetrics
+      // node (it counts rows the cascade DROPS, so it cannot ride any
+      // later action), and Dataset.checkpoint wraps even the lazy case
+      // in withAction — a lazy checkpoint posts a query-success event
+      // whose plan holds the un-run metrics node, and with AQE off (the
+      // scaling harness config) the Observation latches those zeros.
+      // Eager materialization flows the rows first, so the event
+      // carries the real counts. Downstream joins are unaffected: every
       // stats-sensitive join on this path carries an explicit
       // broadcast/dim hint (LogicalRDD has no static stats).
-      .localCheckpoint(false)
+      .localCheckpoint(true)
 
     val dedupObs = org.apache.spark.sql.Observation()
     // M5 lineage label, assembled post-dedup (same format as the oracle)
@@ -500,9 +506,6 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       col("pub_day").as("publish_day"), lit("").as("content_hash"),
       lit("").as("error_message"),
       col("cur_seq").as("seq"), lit(false).as("is_update"))
-      .observe(dedupObs,
-        count(lit(1)).as("n"),
-        count(when(col("status") === "robots_blocked", 1)).as("robots_blocked"))
 
     // ---- 5. plan: fold the (small) update log over the immutable
     // discovery rows, F10 TTL re-admission, politeness tokens, bounded
@@ -541,9 +544,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // narrow projection and the outcome updates join back against this
     // same small cached set — the backlog is scanned exactly once per
     // wave and never cached.
-    // lazy localCheckpoint (same rationale as gatedDelta): the frontier
-    // update leg re-reads plannedWide after the fetch — the checkpoint
-    // keeps the rank/merge subtree out of that plan's analysis
+    // lazy localCheckpoint (lineage rationale as gatedDelta; lazy is
+    // safe HERE because this plan carries no observation node — see
+    // dedupObs placement below): the frontier update leg re-reads
+    // plannedWide after the fetch — the checkpoint keeps the rank/merge
+    // subtree out of that plan's analysis
     val plannedWide = rankPerHost(eligible, availHosts).localCheckpoint(false)
     val planned = plannedWide
       .select(col("norm_url"), col("host"), col("host_bucket"),
@@ -585,8 +590,16 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .withColumn("seq", col("r_wave").cast("long") * 2L + 1L)
       .withColumn("is_update", lit(true))
       .drop("r_url", "r_status", "r_http", "r_wave")
-    val frontierDelta = discovered.unionByName(
-      updates.select(FrontierCols.map(col): _*))
+    // dedupObs rides ONLY the frontier-write branch (the one action
+    // guaranteed to stream every discovered row): attaching it on
+    // `discovered` itself would put the metrics node inside
+    // plannedWide's lazy checkpoint plan, which posts an empty-metrics
+    // query-success event at definition time (see gatedDelta above)
+    val frontierDelta = discovered
+      .observe(dedupObs,
+        count(lit(1)).as("n"),
+        count(when(col("status") === "robots_blocked", 1)).as("robots_blocked"))
+      .unionByName(updates.select(FrontierCols.map(col): _*))
 
     // Host/source-DIMENSION frames in the state legs broadcast while
     // the dim is broadcast-sized (≤ ~1M hosts ≈ tens of MB): each such

@@ -126,6 +126,33 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("per-wave metrics equal oracle with AQE off (the scaling-harness config)") {
+    // Regression: with AQE disabled, a lazy localCheckpoint whose plan
+    // carries an un-run CollectMetrics node posts an empty-metrics
+    // query-success event at definition time, latching every riding
+    // Observation at zero (AQE hides the node inside the un-executed
+    // AdaptiveSparkPlanExec, which is why the AQE-on suite never saw
+    // it). ScalingBench runs AQE-off, so the discovered/duplicates
+    // counters it reports must be oracle-equal under this config too.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val short = cfg.copy(nWaves = 2)
+      val store2 = freshStore()
+      new CrawlEngine(spark, short, store2).run()
+      val o = CrawlOracle.run(short)
+      (0 until short.nWaves).foreach { w =>
+        val txt = Files.readString(
+          java.nio.file.Paths.get(store2.root, "_commits", f"wave-$w%05d.json"))
+        o.waveMetrics(w).foreach { case (k, v) =>
+          assert(txt.contains(s""""$k":$v"""), s"AQE-off wave $w metric $k=$v; got $txt")
+        }
+        assert(o.waveMetrics(w)("discovered").toString.toLong > 0L,
+          "degenerate world: oracle discovered nothing")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("per-source discovery state equals oracle (F12/F13/M4 surface)") {
     import spark.implicits._
     val got: Map[String, SourceState] = engineStore.read(spark, "source_state")
