@@ -1114,6 +1114,29 @@ object CrawlEngine {
   def robotsAllows(rules: Seq[(String, Boolean)], path: String): Boolean =
     rules.find { case (p, _) => path.startsWith(p) }.map(_._2).getOrElse(true)
 
+  /** Fetch-hot-path SHA-256 hex: one digest per executor thread (the
+    * per-row `MessageDigest.getInstance` provider lookup allocates) and
+    * table-driven hex (a `"%02x".format` per byte allocates a
+    * java.util.Formatter each — 32 per row, GC-visible at 10^5 rows/s).
+    * Output is byte-identical to the oracle's independent `%02x` form. */
+  private val sha256Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+  private val HexChars = "0123456789abcdef".toCharArray
+  private[crawl] def sha256Hex(bytes: Array[Byte]): String = {
+    val d = sha256Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val out = new Array[Char](h.length * 2)
+    var i = 0
+    while (i < h.length) {
+      val b = h(i) & 0xff
+      out(2 * i) = HexChars(b >>> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Deterministic fetch resolver — the synthetic server. Computes the
     * ground-truth payload, applies the fault schedule (with F10
     * transient-404 recovery), classifies content type (X4), and
@@ -1128,10 +1151,11 @@ object CrawlEngine {
     val f = if (id < 0) Synth.NotFound else Synth.fault(c)(hostIdx, id, wave)
     f match {
       case Synth.Ok =>
-        val img = Synth.imageFor(c)(id)
+        // payloadFor, not imageFor: the result row records the DECODED
+        // round-trip's phash, so the source-image phash scan is skipped
+        val (img, _) = Synth.payloadFor(c)(id)
         val decoded = ImageKernels.decode(img.bytes)
-        val hash = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(img.bytes).map("%02x".format(_)).mkString
+        val hash = sha256Hex(img.bytes)
         FetchResult(norm, host, bucket, srcId, wave, rank, 200,
           // X4: the status comes from the PAYLOAD via the pattern table
           ContentType.detect(img.caption, contentPats),

@@ -49,7 +49,10 @@ object ImageKernels {
   }
 
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+    // presized: the default 32-byte buffer doubles ~9 times to reach a
+    // typical encoded payload, re-copying the array each time — pure
+    // allocation churn in the fetch stage (the GC-heaviest crawl stage)
+    val bos = new ByteArrayOutputStream(img.getWidth * img.getHeight / 2 + 1024)
     if (fmt == "jpeg") {
       // explicit high quality so the PSNR ≥ 40 dB invariant holds
       val writer = ImageIO.getImageWritersByFormatName("jpeg").next()

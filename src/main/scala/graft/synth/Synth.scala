@@ -452,17 +452,28 @@ object Synth {
   /** Ground-truth payload for an article id: seeded pixels encoded png
     * (4 of 5) or jpeg (1 of 5), deterministic caption, integer phash. */
   def imageFor(cfg: Config)(id: Long): ImageRow = {
+    val (row, img) = payloadFor(cfg)(id)
+    row.copy(phash = ImageKernels.phash64(img))
+  }
+
+  /** The fetch hot path's variant: identical payload bytes/caption but
+    * WITHOUT the source-image phash scan (the fetch records the DECODED
+    * round-trip's phash, so the source phash would be computed and
+    * discarded — one full pixel pass per fetched row). Returns the
+    * pre-encode image too so callers needing the phash share one
+    * synthesis. */
+  def payloadFor(cfg: Config)(id: Long): (ImageRow, java.awt.image.BufferedImage) = {
     val img = ImageKernels.synthPixels(cfg.seed ^ id, cfg.imageSize, cfg.imageSize)
     val fmt = if (id % 5 == 4) "jpeg" else "png"
     val bytes = ImageKernels.encode(img, fmt)
-    ImageRow(
+    (ImageRow(
       image_id = f"img-$id%08d",
       bytes = bytes,
       w = cfg.imageSize,
       h = cfg.imageSize,
       fmt = fmt,
       caption = captionFor(cfg, id),
-      phash = ImageKernels.phash64(img))
+      phash = 0L), img)
   }
 
   /** Caption text carries the class markers the X4 detector keys on
