@@ -1122,7 +1122,7 @@ object CrawlEngine {
   private val sha256Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
   private val HexChars = "0123456789abcdef".toCharArray
-  private[crawl] def sha256Hex(bytes: Array[Byte]): String = {
+  private[graft] def sha256Hex(bytes: Array[Byte]): String = {
     val d = sha256Local.get()
     d.reset()
     val h = d.digest(bytes)
