@@ -68,7 +68,27 @@ object Synth {
     math.max(minParallel.toLong, math.min(byVolume, 1L << 24)).toInt
   }
 
-  def hostName(i: Int): String = f"host-$i%04d.example"
+  /** Append `n` (non-negative) zero-padded to `width` digits — the
+    * `f"$n%0${width}d"` form without a `java.util.Formatter` per call.
+    * The URL generators below run once per RAW link (tens of millions
+    * of calls per run), and the f-interpolator's Formatter — format
+    * string re-parse + boxing + locale machinery per call — was the
+    * discovery cascade's dominant allocation source (the stages the
+    * round-5 event logs flagged at 58-85% GC under contention). Values
+    * wider than `width` print in full, matching `%0Nd`. PadSpec pins
+    * equality with the f-interpolator reference forms. */
+  private[graft] def pad(sb: java.lang.StringBuilder, n: Long, width: Int): java.lang.StringBuilder = {
+    var digits = 1
+    var t = n / 10
+    while (t != 0) { digits += 1; t /= 10 }
+    var i = digits
+    while (i < width) { sb.append('0'); i += 1 }
+    sb.append(n)
+  }
+
+  def hostName(i: Int): String =
+    pad(new java.lang.StringBuilder(17).append("host-"), i.toLong, 4)
+      .append(".example").toString
 
   private def mix(parts: Long*): Long = {
     var h = 0xcbf29ce484222325L
@@ -209,7 +229,8 @@ object Synth {
       } :+ {
         // one syndicated wire story per homepage snapshot (F9: tagged
         // `wire` pre-fetch by the pattern table, never planned)
-        (f"https://www.$h/wire/ap-${wireId(cfg)(hostIdx, w)}%08d",
+        (pad(new java.lang.StringBuilder(64).append("https://www.").append(h)
+          .append("/wire/ap-"), wireId(cfg)(hostIdx, w), 8).toString,
           cfg.urlsPerHostPerWave + MaxSections)
       }
   }
@@ -276,10 +297,10 @@ object Synth {
     if (si < 0) Seq.empty
     else (0 until cfg.sectionLinksPerWave).map { k =>
       val id = sectionArticleId(cfg)(hostIdx, w, si, k)
-      val url =
-        if (section == "local") f"https://www.$h/stories/local-$id%08d"
-        else f"https://www.$h/$section/p-$id%08d"
-      (url, k)
+      val sb = new java.lang.StringBuilder(64).append("https://www.").append(h)
+      if (section == "local") sb.append("/stories/local-")
+      else sb.append('/').append(section).append("/p-")
+      (pad(sb, id, 8).toString, k)
     }
   }
 
@@ -291,19 +312,32 @@ object Synth {
     val h = hostName(hostIdx)
     slots.map { slot =>
       val id = articleId(cfg)(hostIdx, wave, slot)
-      val base = f"https://www.$h/stories/a-$id%08d"
+      // builder forms, not f-interpolators: this closure runs once per
+      // raw link (the hottest expansion in the engine) and a Formatter
+      // per URL was its dominant allocation; `story` is by-name so the
+      // variant slots never build the unused base URL
+      def onHost(path: String): java.lang.StringBuilder =
+        new java.lang.StringBuilder(64).append("https://www.").append(h).append(path)
+      def story(suffix: String): String =
+        pad(onHost("/stories/a-"), id, 8).append(suffix).toString
       val url = slot % 10 match {
-        case 0 | 1 | 2 => base
-        case 3 => f"https://www.$h/photo-gallery/g-$id%08d" // F5 → not_article
-        case 4 => base + "?utm_source=rss&ref=feed"
-        case 5 => base + "#comments"
+        case 0 | 1 | 2 => story("")
+        case 3 => pad(onHost("/photo-gallery/g-"), id, 8).toString // F5 → not_article
+        case 4 => story("?utm_source=rss&ref=feed")
+        case 5 => story("#comments")
         case 6 =>
           val d = math.abs(publishDay(cfg)(id))
           val y = 2020 + (d % 5); val m = 1 + (d % 12); val dd = 1 + (d % 28)
-          f"https://www.$h/$y%04d/$m%02d/$dd%02d/title-$id%08d"
-        case 7 => s"https://www.$h/category/section-$id" // F4 skip
-        case 8 => f"https://other-${hostIdx % 5}%02d.example/stories/x-$id%08d" // F7 scope
-        case _ => f"https://www.$h/private/stories/a-$id%08d" // robots-blocked (article-like path so it survives verification and is dropped by the robots join)
+          val sb = onHost("/")
+          pad(sb, y.toLong, 4).append('/')
+          pad(sb, m.toLong, 2).append('/')
+          pad(sb, dd.toLong, 2).append("/title-")
+          pad(sb, id, 8).toString
+        case 7 => onHost("/category/section-").append(id).toString // F4 skip
+        case 8 => // F7 scope
+          pad(pad(new java.lang.StringBuilder(64).append("https://other-"),
+            (hostIdx % 5).toLong, 2).append(".example/stories/x-"), id, 8).toString
+        case _ => pad(onHost("/private/stories/a-"), id, 8).toString // robots-blocked (article-like path so it survives verification and is dropped by the robots join)
       }
       (url, slot)
     }
