@@ -12,7 +12,9 @@ set -euo pipefail
 CPUS=$1; NHOSTS=$2; PERWAVE=$3; NWAVES=$4; shift 4
 MEM=${SPARK_DRIVER_MEM:-64g}
 GC=${GRAFT_GC:-ParallelGC}
-CP="/root/repo/target/scala-2.13/classes:$(echo /opt/spark/jars/*.jar | tr ' ' ':')"
+# GRAFT_CLASSES overrides the classes dir (ABAB probes against a
+# preserved copy of a parent epoch's target/scala-2.13/classes)
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:$(echo /opt/spark/jars/*.jar | tr ' ' ':')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
