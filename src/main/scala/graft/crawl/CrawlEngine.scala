@@ -242,8 +242,13 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // measured at ~40% of task runtime); with parameter columns the
     // generated code is byte-identical across waves and the codegen
     // cache hits.
-    val params = broadcast(Seq((wave, 2L * wave, cfg.seed + wave))
-      .toDF("cur_wave", "cur_seq", "mix_seed"))
+    // n_buckets rides the parameter table too: it was the one remaining
+    // codegen-visible constant that DIFFERS between the (frozen) Bench
+    // warm-up world and the measured world (32 vs 64), so the warm-up
+    // primed the wrong generated code and run 1's first wave re-paid
+    // Janino for every bucket-keyed stage.
+    val params = broadcast(Seq((wave, 2L * wave, cfg.seed + wave, nb.toLong))
+      .toDF("cur_wave", "cur_seq", "mix_seed", "n_buckets"))
     val politeness = politenessCarry
       .map(_.as[PolitenessState])
       .getOrElse(store.read(spark, "politeness").as[PolitenessState])
@@ -358,7 +363,10 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
       .filter(col("outcome") === "ok")
       .select(col("norm_url"), col("method_rank"), col("attempt"), col("url"),
         col("source_id"), col("host"), col("pub_day"), col("slot"), col("section"))
-      .withColumn("host_bucket", pmod(xxhash64(col("host")), lit(nb.toLong)).cast("int"))
+      .crossJoin(params)
+      .withColumn("host_bucket",
+        pmod(xxhash64(col("host")), col("n_buckets")).cast("int"))
+      .drop("cur_wave", "cur_seq", "mix_seed", "n_buckets")
       .as[CandRow]
 
     // ---- 3. W2/U1 + J6/X5 in ONE bucket shuffle: norm_url → host →
@@ -553,6 +561,15 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     val planned = plannedWide
       .select(col("norm_url"), col("host"), col("host_bucket"),
         col("source_id"), col("rank"))
+      // FETCH PARALLELISM: the planned set is tiny in bytes, so AQE
+      // coalesces the ranking exchange to ONE partition — and the fetch
+      // map inherits it, serializing every resolve (synth + encode +
+      // decode + hash) into a single >1 s task per wave (r6 event log:
+      // the results-write execution ran 2 stages / 1 task). An explicit
+      // numPartitions repartition is exempt from AQE coalescing; hash on
+      // host_bucket keeps the assignment deterministic (no round-robin
+      // sort) and bucket-co-located like every other fetch-side shape.
+      .repartition(spark.sparkContext.defaultParallelism, col("host_bucket"))
       .as[Planned]
 
     // ---- 6. fetch (X2 cascade executor; X4 content typing) ----
@@ -720,7 +737,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         .as("rss_failures"),
       count(when(col("paused_auto"), 1)).as("paused_sources"),
       collect_set(when(col("__due_b") >= 0, col("__due_b"))).as("due_buckets"))
-      .drop("cur_wave", "cur_seq", "mix_seed", "__due_b")
+      .drop("cur_wave", "cur_seq", "mix_seed", "n_buckets", "__due_b")
 
     // per-(source, method) telemetry (A5 surface, telemetry.py:1777-1910)
     val telemObs = org.apache.spark.sql.Observation()
@@ -760,7 +777,16 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         "frontier", wave, bucketCol = Some("host_bucket"),
         lineage = s"wave $wave delta (discovered + outcomes)")
     })
-    val fBloom = Future(timed("bloom_merge", wave) {
+    // the bank is a derived structure: nothing ever READS the seen_bloom
+    // table (a resume rebuilds the bank from the frontier's committed
+    // discovery rows, byte-identically — see bankAll above), so there is
+    // no merged bank to maintain after the FINAL wave: skip the merge
+    // cogroup and the store persist entirely. The final-wave merge +
+    // replaceBuckets write was ~1.5 s inside the timed crawl for a table
+    // with zero consumers (r6 trace); the seen_bloom table stays
+    // registered (writeEmpty at init) so commit pins are unchanged.
+    val fBloom = if (wave + 1 == cfg.nWaves) Future.successful(())
+    else Future(timed("bloom_merge", wave) {
       // bucket-co-partitioned merge in executors; touched buckets fold
       // this wave's keys, untouched rows carry over from the cached bank
       val cap = bloomCapacityPerBucket
@@ -793,11 +819,6 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         .localCheckpoint(true)
       bloomBank.foreach(CrawlEngine.freeCheckpoint) // eager ckpt above already copied the blocks
       bloomBank = Some(nextBank)
-      // the store sees the bank once, at end-of-run — any resume path
-      // rebuilds it from the frontier instead (see bankAll above)
-      if (wave + 1 == cfg.nWaves)
-        store.replaceBuckets(nextBank.toDF(), "seen_bloom", wave, "bucket",
-          lineage = s"final bank after wave $wave")
     })
     // per-(host, http_status) outcome telemetry (telemetry_orm.py:33-277):
     // a second projection of the already-cached results — column
@@ -844,10 +865,16 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     stateCarry = Some(stateNextCk.drop("__due_b"))
 
     // carry the NEXT wave's bucket sets out of the fused write's
-    // observations (same kernels as the wave-start fallback). Scoped
-    // runs keep the fallback: their due scan is scope-restricted while
-    // the state leg sees every source.
-    if (wave + 1 < cfg.nWaves && cfg.datasetScope == null) {
+    // observations (same kernels as the wave-start fallback). For a
+    // SCOPED run the state/politeness legs see every source, so the
+    // observed due-bucket set is a SUPERSET of the scope's true due
+    // buckets — and both consumers of the tags are pure scan PRUNERS
+    // (seen/bloom bucket pruning + the plan-backlog bucket pruning),
+    // for which a superset is correct (it only prunes less): the actual
+    // due scan stays scope-restricted via the seed-registry semi-join.
+    // Carrying for scoped runs too removes the per-wave pre_stage
+    // driver action (~0.4-0.5 s/wave in the r6 trace).
+    if (wave + 1 < cfg.nWaves) {
       def ints(v: Any): Seq[Int] = v match {
         case s: scala.collection.Seq[_] => s.map(x => x.asInstanceOf[Number].intValue).toSeq
         case a: Array[_] => a.toSeq.map(x => x.asInstanceOf[Number].intValue)
@@ -932,6 +959,17 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     timed("init", -1)(init())
     timed("recover", -1)(store.recoverToLastCommit(AllTables))
     val start = store.lastCommittedWave() + 1
+    // wave 0 on a fresh store needs no pre-stage driver collect: every
+    // active source is due (last_wave = -1) and every host politeness-
+    // available (initial state), so the all-buckets set is a known
+    // SUPERSET of both tag sets — and both consumers are scan pruners,
+    // for which a superset is correct (it only prunes less; the frontier
+    // is empty at wave 0 anyway). Saves a 0.5-1.6 s driver action per
+    // engine run (r6 event log: `collect at CrawlEngine.scala:311`).
+    // A crash-resume (start > 0) keeps the exact fallback collect.
+    if (start == 0)
+      nextBucketTags = Some(
+        (0 until cfg.nBuckets).flatMap(b => Seq((0, b), (1, b))).toArray)
     (start until cfg.nWaves).map(runWave)
   }
 

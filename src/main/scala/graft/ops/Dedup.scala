@@ -39,7 +39,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.1,
                         maxDocsPerKey: Int = 100): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, k)
+    // persist the shingle set: it feeds the stop-shingle agg, BOTH sides
+    // of the intersection self-join, and the per-doc sizes — without the
+    // persist the explode + 2-shuffle distinct subtree is planned (and
+    // executed) 5× in one query (r6 before-plan: 4 full scan→Generate→
+    // HashAggregate chains + no exchange reuse). Guide §5: reuse ≥ 2 and
+    // expensive recompute is exactly the persist case; MEMORY_AND_DISK
+    // (default) spills instead of OOMing at scale.
+    val sh = shingles(docs, idCol, textCol, k).persist()
+    // EAGER fill: the first action launches several broadcast-side
+    // builds concurrently, and each thread that finds the cache cold
+    // recomputes the full subtree (measured: lazy persist alone did not
+    // move q_dedup_ngram_jaccard). One cheap count materializes the
+    // cache once, before any consumer races.
+    sh.count()
     // stop-shingle prune as hash-agg + semi-join (map-side combinable)
     // instead of a per-shingle window, which would add a full sort
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("n_docs"))
@@ -80,13 +93,21 @@ object Dedup {
   /** LSH candidate pairs: docs sharing any band bucket. */
   def lshCandidatePairs(signatures: DataFrame, nBands: Int,
                         maxDocsPerKey: Int = 1000): DataFrame = {
+    // persist the signature table: each band projection references it,
+    // and the band union feeds the frequent-key agg plus BOTH sides of
+    // the candidate self-join — unpersisted, the minhash aggregation
+    // (shingle explode + distinct + 4-way min agg) executed up to 8×
+    // per query (r6 before-plan: 32 parquet scans of `documents` in
+    // q_dedup_lsh_pairs, zero reuse). Guide §5.
+    val sig = signatures.persist()
+    sig.count() // eager fill — see ngramJaccardPairs
     val perBand = (0 until nBands).map { b =>
-      signatures.select(col("doc"), col(s"band$b").as("key"), lit(b).as("band"))
+      sig.select(col("doc"), col(s"band$b").as("key"), lit(b).as("band"))
     }.reduce(_ unionByName _)
     val rare = perBand.groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxDocsPerKey).select("band", "key")
     val pruned = perBand.join(rare, Seq("band", "key"), "left_semi")
-      .select("doc", "key", "band")
+      .select("doc", "key", "band").persist()
     pruned.as("a").join(pruned.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
           col("a.doc") < col("b.doc"))
@@ -210,8 +231,12 @@ object Dedup {
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                             planes: Array[Array[Double]],
                             tau: Double): DataFrame = {
+    // persist the bucketed corpus: both self-join sides reference it,
+    // and the SRP signature (8 seeded-hyperplane dots per row) would
+    // otherwise be evaluated twice per row (guide §5)
     val withB = vectors.select(col(idCol), col(vecCol),
-      Similarity.srpBucketSeeded(col(vecCol), planes).as("bucket"))
+      Similarity.srpBucketSeeded(col(vecCol), planes).as("bucket")).persist()
+    withB.count() // eager fill — see ngramJaccardPairs
     val a = withB.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("bucket"))
     val b = withB.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))

@@ -57,7 +57,10 @@ object Similarity {
     * key, so this prunes partitions at the scan. */
   def bucketedTopK(vectors: DataFrame, idCol: String, vecCol: String,
                    queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
+    // persisted: the bucketed corpus feeds both the broadcast query row
+    // and the probe side, halving the bucket-signature evaluation
     val withB = vectors.withColumn("bucket", srpBucket(col(vecCol), nBits))
+      .persist()
     val q = withB.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qv"), col("bucket").as("qb"))
     withB.join(broadcast(q), col("bucket") === col("qb"))
@@ -113,9 +116,11 @@ object Similarity {
   def multiTableTopK(vectors: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int,
                      tables: Seq[Array[Array[Double]]]): DataFrame = {
+    // persisted: L tables of k seeded-hyperplane dots per row, referenced
+    // by the broadcast query row AND the corpus probe side
     val withB = tables.zipWithIndex.foldLeft(vectors) { case (df, (planes, t)) =>
       df.withColumn(s"b$t", srpBucketSeeded(col(vecCol), planes))
-    }
+    }.persist()
     val q = withB.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qv") +:
         tables.indices.map(t => col(s"b$t").as(s"qb$t")): _*)
@@ -164,8 +169,13 @@ object Similarity {
       .agg(sort_array(collect_list(
         struct(col(idCol).cast("int").as("cid"), col("v").as("cv"),
           sqrt(dotD(col("v"), col("v"))).as("cn")))).as("cents"))
+    // persisted: the assignment fold (one dot per centroid per row) is
+    // referenced by the query-row probe AND the corpus-side scan — and
+    // the broadcast centroid agg behind it would otherwise run twice too
     val assigned = base.crossJoin(broadcast(cents))
       .withColumn("cluster", argmaxCentroid(col("v"), col("cents")))
+      .persist()
+    assigned.count() // eager fill — see Dedup.ngramJaccardPairs
     val q = assigned.filter(col(idCol) === queryId)
       .select(col("v").as("qv"), col("cents"))
     // the query's nProbe nearest centroids (centroid-cardinality work)
@@ -192,7 +202,9 @@ object Similarity {
     * asserted against [[bruteForceTopK]] in AnnSpec. */
   def multiprobeTopK(vectors: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int, planes: Array[Array[Double]]): DataFrame = {
+    // persisted: same two-consumer shape as bucketedTopK
     val withB = vectors.withColumn("bucket", srpBucketSeeded(col(vecCol), planes))
+      .persist()
     val q = withB.filter(col(idCol) === queryId)
       .select(col(vecCol).as("qv"), col("bucket").as("qb"))
     withB.join(broadcast(q),
