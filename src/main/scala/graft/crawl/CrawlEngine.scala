@@ -760,6 +760,17 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // overlap: the source-state rewrite depends only on the gate chain
+    // (already checkpointed) and the due facts — NOT on the fetch — so
+    // its materialization can back-fill idle cores while the rank/fetch/
+    // results action runs, instead of serializing inside the fused state
+    // write (r6 event log: the two lazy state-leg materializations were
+    // ~0.5 + 0.4 s on the fused write's critical path). Concurrent
+    // materialization with the fused write's own scan is safe: local-
+    // checkpoint block writes are idempotent and RDDCheckpointData is
+    // synchronized; the worst case recomputes a host-cardinality leg.
+    val fStateWarm = Future(
+      stateNextCk.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ()))
     timed("write_results", wave) {
       store.appendDelta(resultsToWrite, "results", wave, lineage = s"wave $wave delta")
     }
@@ -838,6 +849,11 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
     // lazy localCheckpoint, same deal as stateNextCk: materialized by
     // the fused write, reused as next wave's politeness (politenessCarry)
     val politenessNextCk = politenessNext.localCheckpoint(false)
+    // warm the politeness rewrite concurrently with the frontier/bloom
+    // futures (it needs the fetch results, so it can only start now);
+    // same idempotent-materialization rationale as fStateWarm above
+    val fPolWarm = Future(
+      politenessNextCk.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ()))
     val polObs = org.apache.spark.sql.Observation()
     val fStateTables = Future(timed("write_state_fused", wave) {
       store.writeFused(Seq(
@@ -853,7 +869,7 @@ final class CrawlEngine(spark: SparkSession, cfg: Synth.Config, store: SnapshotS
         FusedPart("telemetry_http", httpTelemetry.coalesce(hostFiles),
           append = true, lineage = s"wave $wave http outcomes")), wave)
     })
-    Seq(fFrontier, fBloom, fStateTables)
+    Seq(fFrontier, fBloom, fStateTables, fStateWarm, fPolWarm)
       .foreach(Await.result(_, Duration.Inf))
 
     // the fused write materialized both checkpoints; swap them in as

@@ -137,10 +137,17 @@ object Dedup {
     // near-dup graphs (thousands of edges) that is ONE partition, so a
     // propagation round is a single local task instead of 32 scheduled
     // shuffles
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    // the pair set feeds BOTH union legs below; persist + eager fill so
+    // the (possibly expensive) upstream candidate chain runs once, not
+    // once per leg (the legs are stages of one job and would otherwise
+    // race on a cold cache — see ngramJaccardPairs)
+    val pairsC = pairs.persist()
+    pairsC.count()
+    val edges = pairsC.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairsC.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().localCheckpoint()
     val nEdges = edges.count()
+    pairsC.unpersist() // edges is materialized; the pair cache is done
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 500000L).toInt))
     val edgesP = (if (parts == 1) edges.coalesce(1)
