@@ -78,6 +78,11 @@ object Synth {
     * wider than `width` print in full, matching `%0Nd`. PadSpec pins
     * equality with the f-interpolator reference forms. */
   private[graft] def pad(sb: java.lang.StringBuilder, n: Long, width: Int): java.lang.StringBuilder = {
+    // enforced, not just documented (r5 ADVICE): a negative input would
+    // silently misformat ('000-12' where %0Nd prints '-0000012'); every
+    // id space is non-negative by construction, so this never fires on
+    // the hot path — it exists to fail fast if a future id space isn't
+    require(n >= 0, s"pad requires non-negative input, got $n")
     var digits = 1
     var t = n / 10
     while (t != 0) { digits += 1; t /= 10 }
@@ -535,7 +540,13 @@ object Synth {
     }
   }
 
-  /** Parse the article id back out of a normalized synthetic URL. */
+  /** Parse the article id back out of a normalized synthetic URL.
+    * INTENTIONALLY parses only exactly-8-digit tails: ids ≥ 1e8 print in
+    * full (the %0Nd overflow behavior PadSpec pins) and return None here
+    * — engine and oracle share this parser, so such worlds stay
+    * consistent (every fetch of an unparseable id is a deterministic
+    * 404). If the id space ever legitimately exceeds 8 digits, widen the
+    * pad and this parser TOGETHER (r5 ADVICE). */
   def idOf(normUrl: String): Option[Long] = {
     val i = normUrl.lastIndexOf('-')
     if (i < 0) None

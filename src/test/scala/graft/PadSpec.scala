@@ -18,12 +18,22 @@ class PadSpec extends AnyFunSuite {
   private val bigCfg = Synth.Config(nHosts = 2000000, urlsPerHostPerWave = 200, nWaves = 3)
 
   test("pad equals f\"%0Nd\" on arbitrary non-negative longs and widths") {
+    // Locale.ROOT for the reference form (r5 ADVICE): the builder always
+    // emits ASCII digits; a non-ASCII-digit default locale would
+    // otherwise fail the spec even though the builder output is the
+    // more deterministic of the two
     val prop = forAll(Gen.chooseNum(0L, Long.MaxValue), Gen.choose(1, 12)) { (n, w) =>
       Synth.pad(new java.lang.StringBuilder, n, w).toString ==
-        s"%0${w}d".format(n)
+        String.format(java.util.Locale.ROOT, s"%0${w}d", java.lang.Long.valueOf(n))
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("pad rejects negative input (the %0Nd sign divergence guard)") {
+    intercept[IllegalArgumentException] {
+      Synth.pad(new java.lang.StringBuilder, -12L, 6)
+    }
   }
 
   test("hostName equals the f-interpolator reference form") {
